@@ -1,0 +1,329 @@
+"""The SLAM engine: a single-program schedule driving jitted track/map steps.
+
+The reference runs 3 OS processes (tracker / mapper / coarse mapper) around
+shared-memory tensors with sleep-polling sync (src/NICE_SLAM.py:288-307,
+src/Tracker.py:161-175, src/Mapper.py:550-563).  Under `sync_method:
+strict` that machinery reduces to a sequential interleave (SURVEY §3.5):
+
+    map(0, iters_first); for idx in 1..n-1: track(idx); every N: map(idx)
+
+which is exactly what this engine runs — the map state lives on device the
+whole time, and each step is one jitted call.  `loose`/`free` modes are
+accepted and run the same deterministic interleave (the reference's bounded
+asynchrony only changes scheduling noise, not the computation; a
+multi-device pipelined mode lives in nice_slam_tpu/parallel).
+
+Feature parity with the reference mapper loop (src/Mapper.py:542-657):
+first-frame iters_first x lr_first_factor, keyframe insertion every
+keyframe_every (and at n-2), local BA gated on >4 keyframes, final-frame
+color refinement (window x2, color-only, 5x iters, color decoder frozen,
+frustum selection off), periodic checkpointing, optional meshing hook.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import replace
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nice_slam_tpu.config import SlamSpecs, specs_from_config
+from nice_slam_tpu.keyframes import (
+    KeyframeStore,
+    add_keyframe,
+    build_window,
+    make_store,
+    select_keyframes_global,
+    select_keyframes_overlap,
+    update_poses,
+)
+from nice_slam_tpu.mapping import grid_masks, map_optimize
+from nice_slam_tpu.ops import cam_from_tensor, tensor_from_cam, to_homogeneous
+from nice_slam_tpu.state import make_map_state
+from nice_slam_tpu.tracking import const_speed_init, track_frame
+from nice_slam_tpu.utils.checkpoint import save_checkpoint
+from nice_slam_tpu.utils.datasets import get_dataset
+
+
+class SlamEngine:
+    def __init__(self, cfg: dict, dataset=None, output: Optional[str] = None,
+                 mesher_hook: Optional[Callable] = None,
+                 vis_hook: Optional[Callable] = None):
+        self.cfg = cfg
+        self.specs: SlamSpecs = specs_from_config(cfg)
+        self.dataset = dataset if dataset is not None else get_dataset(cfg)
+        self.n_img = len(self.dataset)
+        self.output = output or cfg["data"]["output"]
+        self.mesher_hook = mesher_hook
+        self.vis_hook = vis_hook
+        self.verbose = bool(cfg.get("verbose", False))
+
+        m = cfg["mapping"]
+        self.every_frame = m["every_frame"]
+        self.keyframe_every = m["keyframe_every"]
+        self.ckpt_freq = m["ckpt_freq"]
+        self.mesh_freq = m["mesh_freq"]
+        self.iters = m["iters"]
+        self.iters_first = m["iters_first"]
+        self.lr_factor = m["lr_factor"]
+        self.lr_first_factor = m["lr_first_factor"]
+        self.color_refine = m["color_refine"]
+        self.gt_camera = cfg["tracking"]["gt_camera"]
+
+        key = jax.random.PRNGKey(cfg["tpu"]["seed"])
+        key, kstate = jax.random.split(key)
+        self.key = key
+        self.map_state = make_map_state(
+            kstate, self.specs.model, m["bound"], cfg["grid_len"],
+            cfg["grid_len"]["bound_divisible"])
+
+        cap = cfg["tpu"].get("keyframe_capacity") or (
+            self.n_img // self.keyframe_every + 4)
+        cam = self.specs.camera
+        self.store: KeyframeStore = make_store(cap, cam.H, cam.W)
+        self.kf_frame_ids: list = []
+
+        self.est_c2w = np.zeros((self.n_img, 4, 4), np.float32)
+        self.gt_c2w = np.zeros((self.n_img, 4, 4), np.float32)
+        self.tracking_stats: list = []
+        self.frames_done = 0
+        self.timings = {"track": 0.0, "map": 0.0, "coarse_map": 0.0,
+                        "io": 0.0}
+
+    # -- helpers -----------------------------------------------------------
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    @property
+    def bound(self):
+        return self.map_state.bound
+
+    def _load_frame(self, idx: int):
+        t0 = time.perf_counter()
+        _, color, depth, gt_pose = self.dataset[idx]
+        out = (jnp.asarray(color), jnp.asarray(depth), np.asarray(gt_pose))
+        self.timings["io"] += time.perf_counter() - t0
+        return out
+
+    # -- tracking ----------------------------------------------------------
+
+    def track(self, idx: int, color, depth, gt_pose) -> None:
+        s = self.specs
+        self.gt_c2w[idx] = gt_pose
+        if idx == 0 or self.gt_camera:
+            self.est_c2w[idx] = gt_pose
+            return
+
+        pre = jnp.asarray(self.est_c2w[idx - 1])
+        if s.track.const_speed and idx >= 2:
+            prepre = jnp.asarray(self.est_c2w[idx - 2])
+            init_c2w = const_speed_init(pre, prepre)
+        else:
+            init_c2w = pre
+        cam0 = tensor_from_cam(init_c2w)
+
+        t0 = time.perf_counter()
+        best_cam, first_loss, last_loss, best_loss = track_frame(
+            self.map_state.params, self.map_state.grids, self.bound,
+            cam0, color, depth, self._next_key(),
+            s.camera, s.track, s.render, s.model)
+        c2w = to_homogeneous(cam_from_tensor(best_cam))
+        c2w_np = np.asarray(jax.device_get(c2w))
+        self.timings["track"] += time.perf_counter() - t0
+
+        self.est_c2w[idx] = c2w_np
+        self.tracking_stats.append(
+            {"idx": idx, "first_loss": float(first_loss),
+             "last_loss": float(last_loss), "best_loss": float(best_loss)})
+
+    # -- mapping -----------------------------------------------------------
+
+    def _select_window(self, mapspec, color, depth, cur_c2w):
+        cam = self.specs.camera
+        k = mapspec.window_size - 2
+        if mapspec.keyframe_selection == "overlap":
+            slots, valid = select_keyframes_overlap(
+                self._next_key(), self.store, color, depth,
+                jnp.asarray(cur_c2w), cam, k)
+        else:
+            slots, valid = select_keyframes_global(
+                self._next_key(), self.store, k)
+        return build_window(self.store, slots, valid, color, depth,
+                            jnp.asarray(cur_c2w))
+
+    def map_once(self, idx: int, color, depth, cur_c2w, mapspec,
+                 num_joint_iters: int, lr_factor: float, ba: bool,
+                 coarse: bool = False):
+        s = self.specs
+        window = self._select_window(mapspec, color, depth, cur_c2w)
+
+        masks = grid_masks(self.map_state.grids, self.bound,
+                           jnp.asarray(cur_c2w), depth, s.camera,
+                           mapspec.frustum_selection and mapspec.nice,
+                           s.model.coarse_bound_enlarge)
+
+        cams0 = tensor_from_cam(window["c2ws"][:, :3, :])
+        wn = int(window["valid"].shape[0])
+        if ba:
+            slots = window["slots"]
+            valid = np.asarray(window["valid"])
+            slot_np = np.asarray(slots).astype(np.int64)
+            slot_for_min = np.where(valid[:-1], slot_np[:-1], np.iinfo(np.int64).max)
+            oldest_pos = int(np.argmin(slot_for_min))
+            cam_lr_mask = valid.astype(np.float32)
+            cam_lr_mask[oldest_pos] = 0.0
+        else:
+            cam_lr_mask = np.zeros((wn,), np.float32)
+        cam_lr_mask = jnp.asarray(cam_lr_mask)
+
+        it = mapspec.stage_iters(num_joint_iters)
+        stage_iters = tuple((st, it[st])
+                            for st in ("coarse", "middle", "fine", "color")
+                            if it[st] > 0)
+
+        t0 = time.perf_counter()
+        params, grids, cams, losses = map_optimize(
+            self.map_state.params, self.map_state.grids, self.bound,
+            window, cams0, masks, cam_lr_mask,
+            jnp.asarray(lr_factor, jnp.float32), self._next_key(),
+            s.camera, stage_iters, mapspec, s.render, s.model)
+        jax.block_until_ready(losses)
+        self.timings["coarse_map" if coarse else "map"] += \
+            time.perf_counter() - t0
+
+        self.map_state.params = params
+        self.map_state.grids = grids
+
+        if ba:
+            new_c2w = to_homogeneous(cam_from_tensor(cams))
+            kf_mask = (window["valid"]
+                       & (window["slots"] >= 0)
+                       & (cam_lr_mask > 0))
+            self.store = update_poses(
+                self.store, jnp.maximum(window["slots"], 0), new_c2w, kf_mask)
+            cur = np.asarray(jax.device_get(new_c2w[-1]))
+            return cur, losses
+        return None, losses
+
+    def mapping_event(self, idx: int, color, depth, gt_pose,
+                      first: bool = False) -> None:
+        """One mapping wake-up: fine mapper (+BA, keyframe insertion,
+        checkpoint/mesh hooks) and the coarse mapper."""
+        cur_c2w = self.est_c2w[idx]
+        final = idx == self.n_img - 1
+        mapspec = self.specs.mapper
+
+        if first:
+            outer, n_iters, lr_f = 1, self.iters_first, self.lr_first_factor
+        elif final and self.color_refine and mapspec.nice:
+            # color refinement postprocess (Mapper.py:579-586)
+            outer = 5
+            n_iters = self.iters
+            lr_f = self.lr_factor
+            mapspec = replace(mapspec, window_size=mapspec.window_size * 2,
+                              middle_iter_ratio=0.0, fine_iter_ratio=0.0,
+                              fix_color=True, frustum_selection=False)
+        else:
+            outer = 1 if mapspec.nice else 3
+            n_iters = max(self.iters // (1 if mapspec.nice else 3), 1)
+            lr_f = self.lr_factor
+
+        for _ in range(outer):
+            ba = (len(self.kf_frame_ids) > 4) and mapspec.ba
+            new_cur, _ = self.map_once(idx, color, depth, cur_c2w, mapspec,
+                                       n_iters, lr_f, ba)
+            if new_cur is not None:
+                cur_c2w = new_cur
+                self.est_c2w[idx] = new_cur
+
+        # keyframe insertion (Mapper.py:611-617)
+        if (idx % self.keyframe_every == 0 or idx >= self.n_img - 2) \
+                and idx not in self.kf_frame_ids \
+                and len(self.kf_frame_ids) < self.store.capacity:
+            self.store = add_keyframe(
+                self.store, color, depth, jnp.asarray(cur_c2w),
+                jnp.asarray(gt_pose), idx)
+            self.kf_frame_ids.append(idx)
+
+        # coarse mapper (independent; coarse grid only)
+        if self.specs.coarse_mapper is not None:
+            self.map_once(idx, color, depth, cur_c2w,
+                          self.specs.coarse_mapper,
+                          self.iters_first if first else self.iters,
+                          self.lr_first_factor if first else self.lr_factor,
+                          ba=False, coarse=True)
+
+        if (idx % self.ckpt_freq == 0 and idx > 0) or final:
+            self.save(os.path.join(self.output, "ckpts",
+                                   f"{idx:05d}.npz"))
+        if self.mesher_hook is not None and (
+                (idx % self.mesh_freq == 0 and idx > 0) or final):
+            self.mesher_hook(self, idx, final)
+
+    # -- main loop ---------------------------------------------------------
+
+    def run(self, n_frames: Optional[int] = None, progress: bool = False):
+        n = min(n_frames or self.n_img, self.n_img)
+        it = range(n)
+        if progress:
+            try:
+                from tqdm import tqdm
+                it = tqdm(it, desc="slam")
+            except ImportError:
+                pass
+        for idx in it:
+            color, depth, gt_pose = self._load_frame(idx)
+            if idx == 0:
+                self.gt_c2w[0] = gt_pose
+                self.est_c2w[0] = gt_pose
+                self.mapping_event(0, color, depth, gt_pose, first=True)
+                continue
+            self.track(idx, color, depth, gt_pose)
+            if idx % self.every_frame == 0 or idx == n - 1:
+                self.mapping_event(idx, color, depth, gt_pose)
+            if self.vis_hook is not None:
+                self.vis_hook(self, idx, color, depth)
+            self.frames_done = idx + 1
+        return self
+
+    def save(self, path: str):
+        save_checkpoint(
+            path, self.map_state.params, self.map_state.grids,
+            self.bound, self.est_c2w, self.gt_c2w, self.store,
+            self.frames_done,
+            extra={"kf_frame_ids": np.asarray(self.kf_frame_ids, np.int64)})
+
+    def resume(self, path: str):
+        from nice_slam_tpu.utils.checkpoint import load_checkpoint
+
+        ck = load_checkpoint(path, self.map_state.params,
+                             self.map_state.grids)
+        self.map_state.params = jax.tree.map(jnp.asarray, ck["params"])
+        self.map_state.grids = jax.tree.map(jnp.asarray, ck["grids"])
+        self.est_c2w = ck["est_c2w"]
+        self.gt_c2w = ck["gt_c2w"]
+        kf = ck.get("keyframes")
+        if kf:
+            self.store = KeyframeStore(
+                colors=jnp.asarray(kf["colors"]),
+                depths=jnp.asarray(kf["depths"]),
+                est_c2w=jnp.asarray(kf["est_c2w"]),
+                gt_c2w=jnp.asarray(kf["gt_c2w"]),
+                frame_idx=jnp.asarray(kf["frame_idx"]),
+                count=jnp.asarray(kf["count"]),
+            )
+        self.kf_frame_ids = list(ck["extra"]["kf_frame_ids"])
+        self.frames_done = ck["idx"]
+        return self
+
+    def ate(self):
+        from nice_slam_tpu.utils.trajectory import ate_stats
+
+        n = self.frames_done
+        return ate_stats(self.gt_c2w[:n], self.est_c2w[:n])

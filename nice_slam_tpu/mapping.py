@@ -1,0 +1,311 @@
+"""Keyframe-window joint mapping (TPU re-design of src/Mapper.py).
+
+One call = one `optimize_map` of the reference (Mapper.py:230-540), fully
+jitted:
+
+- the staged middle -> fine -> color schedule becomes three `lax.scan`s
+  with static iteration counts (the stage boundaries are static given
+  num_joint_iters; Mapper.py:403-419),
+- the 5-6 Adam param groups with per-stage LRs become ONE pytree Adam with
+  a per-stage learning-rate tree (ops/optim.py); Adam moments persist
+  across the stages of a call, fresh per call — exactly like the
+  reference's per-call Adam,
+- frustum feature selection (Mapper.py:93-164, 297-333) becomes a voxel
+  mask multiplied into the grid gradients: non-visible features receive
+  exactly zero update (with fresh Adam state this is identical to
+  excluding them from the optimizer),
+- local BA optimizes window camera 7-vectors with a per-slot LR mask
+  (oldest + invalid slots frozen; Mapper.py:346-363, 417-419).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nice_slam_tpu.camera import Camera
+from nice_slam_tpu.keyframes import project_points
+from nice_slam_tpu.models.decoders import ModelSpec
+from nice_slam_tpu.ops import adam_init, adam_update, cam_from_tensor
+from nice_slam_tpu.ops.rays import (
+    gather_pixels,
+    ray_aabb_far,
+    rays_from_uv,
+    sample_pixels,
+)
+from nice_slam_tpu.render import RenderSpec, regulation_sigma, render_rays
+
+
+@dataclass(frozen=True)
+class StageLR:
+    decoders: float = 0.0
+    coarse: float = 0.0
+    middle: float = 0.0
+    fine: float = 0.0
+    color: float = 0.0
+
+
+# Defaults mirror configs/nice_slam.yaml:71-95 in the reference.
+DEFAULT_STAGE_LR = {
+    "coarse": StageLR(coarse=0.001),
+    "middle": StageLR(middle=0.1),
+    "fine": StageLR(middle=0.005, fine=0.005),
+    "color": StageLR(decoders=0.005, middle=0.005, fine=0.005, color=0.005),
+}
+
+
+@dataclass(frozen=True)
+class MapSpec:
+    pixels: int = 1000
+    window_size: int = 5
+    w_color_loss: float = 0.2
+    middle_iter_ratio: float = 0.4
+    fine_iter_ratio: float = 0.6
+    fix_fine: bool = True
+    fix_color: bool = False
+    # Deviation knob for pretrain-free runs: the reference freezes the
+    # (pretrained) middle decoder; without its checkpoints, training it
+    # online recovers map quality (see models/pretrain.py docstring).
+    train_middle: bool = False
+    frustum_selection: bool = True
+    keyframe_selection: str = "overlap"
+    keyframe_every: int = 50
+    ba: bool = True                    # config-level switch (BA starts >4 kfs)
+    ba_cam_lr: float = 0.001
+    nice: bool = True
+    coarse_mapper: bool = False
+    imap_decoders_lr: float = 0.0002
+    stage_lr: Tuple[Tuple[str, StageLR], ...] = tuple(
+        sorted(DEFAULT_STAGE_LR.items()))
+
+    def stage_lr_table(self):
+        return dict(self.stage_lr)
+
+    def stage_iters(self, num_joint_iters: int):
+        """Static per-stage iteration counts from the reference's
+        iter-ratio thresholds (Mapper.py:403-410)."""
+        if self.coarse_mapper:
+            return {"coarse": num_joint_iters, "middle": 0, "fine": 0,
+                    "color": 0}
+        n = num_joint_iters
+        mid_end = int(n * self.middle_iter_ratio)
+        fine_end = int(n * self.fine_iter_ratio)
+        n_mid = min(mid_end + 1, n)
+        n_fine = max(min(fine_end + 1, n) - n_mid, 0)
+        n_color = n - n_mid - n_fine
+        return {"coarse": 0, "middle": n_mid, "fine": n_fine,
+                "color": n_color}
+
+
+# ---------------------------------------------------------------------------
+# Frustum feature selection
+
+def bilinear_sample_2d(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Bilinear lookup of img (H, W) at x=u, y=v (cv2.remap INTER_LINEAR
+    semantics up to border handling; callers mask out-of-image anyway)."""
+    H, W = img.shape
+    u = jnp.clip(u, 0.0, W - 1.0)
+    v = jnp.clip(v, 0.0, H - 1.0)
+    x0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 2) if W > 1 else jnp.zeros_like(u, jnp.int32)
+    y0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 2) if H > 1 else jnp.zeros_like(v, jnp.int32)
+    fx = u - x0
+    fy = v - y0
+    i00 = img[y0, x0]
+    i01 = img[y0, x0 + 1]
+    i10 = img[y0 + 1, x0]
+    i11 = img[y0 + 1, x0 + 1]
+    return (i00 * (1 - fx) * (1 - fy) + i01 * fx * (1 - fy)
+            + i10 * (1 - fx) * fy + i11 * fx * fy)
+
+
+@partial(jax.jit, static_argnames=("camera", "shape"))
+def frustum_mask(bound, shape: Tuple[int, int, int], c2w, depth,
+                 camera: Camera):
+    """Voxel visibility mask for one grid (reference Mapper.py:93-164):
+    voxel centers projected into the current depth image; keep voxels
+    in-frustum with -z <= depth + 0.5, plus all voxels within 0.5 m of the
+    camera center.  Returns (Nx, Ny, Nz) bool."""
+    nx, ny, nz = shape
+    xs = jnp.linspace(bound[0, 0], bound[0, 1], nx)
+    ys = jnp.linspace(bound[1, 0], bound[1, 1], ny)
+    zs = jnp.linspace(bound[2, 0], bound[2, 1], nz)
+    X, Y, Z = jnp.meshgrid(xs, ys, zs, indexing="ij")
+    pts = jnp.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+
+    u, v, z = project_points(pts, c2w, camera)
+    d_at = bilinear_sample_2d(depth, u, v)
+    d_at = jnp.where(d_at == 0, jnp.max(d_at), d_at)
+    mask = ((u < camera.W) & (u > 0) & (v < camera.H) & (v > 0)
+            & (0 <= -z) & (-z <= d_at + 0.5))
+
+    cam_o = c2w[:3, 3]
+    dist2 = jnp.sum((pts - cam_o) ** 2, axis=-1)
+    mask = mask | (dist2 < 0.25)
+    return mask.reshape(nx, ny, nz)
+
+
+def grid_masks(grids, bound, c2w, depth, camera: Camera, enabled: bool,
+               coarse_bound_enlarge: int = 2):
+    """Frustum masks for every grid level; coarse is always fully
+    optimizable (Mapper.py:113-115)."""
+    masks = {}
+    for name, g in grids.items():
+        if not enabled or name == "coarse":
+            masks[name] = jnp.ones(g.shape[:3] + (1,), g.dtype)
+        else:
+            m = frustum_mask(bound, g.shape[:3], c2w, depth, camera)
+            masks[name] = m[..., None].astype(g.dtype)
+    return masks
+
+
+# ---------------------------------------------------------------------------
+# Loss
+
+def _window_rays(key, window, cams, camera: Camera, pix_per_frame: int):
+    """Sample pix_per_frame pixels from every window frame and build rays
+    from the (optimizable) camera tensors.  Returns flattened batches."""
+    wn = window["colors"].shape[0]
+    c2ws = cam_from_tensor(cams)  # (Wn, 3, 4)
+    keys = jax.random.split(key, wn)
+
+    def per_frame(k, c2w, color, depth):
+        i, j = sample_pixels(k, pix_per_frame, 0, camera.H, 0, camera.W)
+        o, d = rays_from_uv(i, j, c2w, camera.fx, camera.fy, camera.cx,
+                            camera.cy)
+        return o, d, gather_pixels(depth, i, j), gather_pixels(color, i, j)
+
+    o, d, gd, gc = jax.vmap(per_frame)(keys, c2ws, window["colors"],
+                                       window["depths"])
+    valid = jnp.repeat(window["valid"], pix_per_frame)
+    return (o.reshape(-1, 3), d.reshape(-1, 3), gd.reshape(-1),
+            gc.reshape(-1, 3), valid)
+
+
+def mapping_loss(tree, window, bound, key, camera: Camera, stage: str,
+                 mapspec: MapSpec, rspec: RenderSpec, mspec: ModelSpec):
+    """One mapping loss evaluation (Mapper.py:430-501): masked L1 depth +
+    (color stage) unmasked L1 color; iMAP* adds sigma regulation."""
+    params, grids, cams = tree["params"], tree["grids"], tree["cams"]
+    pix = mapspec.pixels // window["colors"].shape[0]
+    rays_o, rays_d, gt_d, gt_c, valid = _window_rays(
+        key, window, cams, camera, pix)
+
+    if mapspec.nice:
+        t_exit = ray_aabb_far(jax.lax.stop_gradient(rays_o),
+                              jax.lax.stop_gradient(rays_d), bound)
+        inside = t_exit >= gt_d
+    else:
+        inside = jnp.ones_like(gt_d, bool)
+    m = valid & inside
+
+    key, kr = jax.random.split(key)
+    depth, var, color, _ = render_rays(
+        params, mspec, grids, bound, rays_o, rays_d, kr, rspec, stage,
+        gt_depth=None if mapspec.coarse_mapper else gt_d)
+
+    dm = (gt_d > 0) & m
+    loss = jnp.sum(jnp.abs(gt_d - depth) * dm)
+    if (not mapspec.nice) or stage == "color":
+        loss = loss + mapspec.w_color_loss * jnp.sum(
+            jnp.abs(gt_c - color) * m[:, None])
+    if not rspec.occupancy:
+        key, ks = jax.random.split(key)
+        sigma = regulation_sigma(params, mspec, grids, bound, rays_o, rays_d,
+                                 gt_d, ks, rspec.n_samples, stage)
+        sig_m = jnp.repeat(m, rspec.n_samples)
+        loss = loss + 0.0005 * jnp.sum(jnp.abs(sigma) * sig_m)
+    return loss
+
+
+# ---------------------------------------------------------------------------
+# LR trees
+
+def _decoder_lr_tree(params, mapspec: MapSpec, dec_lr: float):
+    """Per-leaf LR for decoder params: only fine (unless fixed) and color
+    (unless fixed) decoders train in NICE mode (Mapper.py:335-344)."""
+    def lr_for(name):
+        if not mapspec.nice:
+            return mapspec.imap_decoders_lr
+        if name == "fine":
+            return 0.0 if mapspec.fix_fine else dec_lr
+        if name == "color":
+            return 0.0 if mapspec.fix_color else dec_lr
+        if name == "middle":
+            return dec_lr if mapspec.train_middle else 0.0
+        return 0.0
+
+    return {name: jax.tree.map(lambda _: lr_for(name), sub)
+            for name, sub in params.items()}
+
+
+def _lr_tree(tree, stage: str, mapspec: MapSpec, lr_factor, cam_lr_mask):
+    table = mapspec.stage_lr_table()[stage] if mapspec.nice else None
+    if mapspec.nice:
+        grid_lrs = {"coarse": table.coarse, "middle": table.middle,
+                    "fine": table.fine, "color": table.color}
+        grids_lr = {n: jax.tree.map(lambda _: grid_lrs[n] * lr_factor, g)
+                    for n, g in tree["grids"].items()}
+        dec_lr_tree = _decoder_lr_tree(tree["params"], mapspec,
+                                       table.decoders * lr_factor)
+        cam_lr = (mapspec.ba_cam_lr * cam_lr_mask if stage == "color"
+                  else jnp.zeros_like(cam_lr_mask))
+    else:
+        grids_lr = {}
+        dec_lr_tree = _decoder_lr_tree(tree["params"], mapspec, 0.0)
+        cam_lr = mapspec.ba_cam_lr * cam_lr_mask
+    return {"params": dec_lr_tree, "grids": grids_lr,
+            "cams": cam_lr[:, None] * jnp.ones((1, 7))}
+
+
+# ---------------------------------------------------------------------------
+# The jitted mapping call
+
+@partial(jax.jit, static_argnames=("camera", "stage_iters", "mapspec",
+                                   "rspec", "mspec"))
+def map_optimize(params, grids, bound, window, cams0, masks, cam_lr_mask,
+                 lr_factor, key, camera: Camera,
+                 stage_iters: Tuple[Tuple[str, int], ...],
+                 mapspec: MapSpec, rspec: RenderSpec, mspec: ModelSpec):
+    """Run the staged mapping optimization.
+
+    cams0: (Wn, 7) camera tensors for the window (from est poses).
+    masks: frustum masks per grid, multiplied into grid grads.
+    cam_lr_mask: (Wn,) BA learning-rate mask (0 = frozen pose).
+
+    Returns (params, grids, cams, losses)."""
+    tree = {"params": params, "grids": grids, "cams": cams0}
+    opt = adam_init(tree)
+    loss_grad = jax.value_and_grad(mapping_loss)
+
+    all_losses = []
+    for stage, n_iters in stage_iters:
+        if n_iters == 0:
+            continue
+        lr_tree = _lr_tree(tree, stage, mapspec, lr_factor, cam_lr_mask)
+
+        def step(carry, k, _stage=stage, _lr=lr_tree):
+            tr, op = carry
+            loss, g = loss_grad(tr, window, bound, k, camera, _stage,
+                                mapspec, rspec, mspec)
+            g = dict(g)
+            g["grids"] = {n: gg * masks[n] for n, gg in g["grids"].items()}
+            if not mapspec.nice:
+                # iMAP* StepLR(200, 0.8) on decoder lr (Mapper.py:388-389)
+                scale = 0.8 ** (op.step // 200).astype(jnp.float32)
+                _lr = dict(_lr)
+                _lr["params"] = jax.tree.map(lambda l: l * scale,
+                                             _lr["params"])
+            tr, op = adam_update(tr, g, op, _lr)
+            return (tr, op), loss
+
+        key, ks = jax.random.split(key)
+        keys = jax.random.split(ks, n_iters)
+        (tree, opt), losses = jax.lax.scan(step, (tree, opt), keys)
+        all_losses.append(losses)
+
+    return (tree["params"], tree["grids"], tree["cams"],
+            jnp.concatenate(all_losses) if all_losses else jnp.zeros((0,)))

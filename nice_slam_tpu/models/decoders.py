@@ -1,0 +1,264 @@
+"""Hierarchical grid decoders, TPU-functional style.
+
+Semantics match the reference decoders exactly (so pretrained ConvONet
+checkpoints remain loadable; see models/pretrain.py):
+
+- `MLP` (reference decoder.py:91-203): per-point grid feature via trilinear
+  interp, Fourier/NeRF point embedding, 5 dense blocks with additive
+  per-layer feature injection ``h += fc_c[i](c)`` and a skip-concat of the
+  embedding at block 2.  The fine decoder consumes its own + the middle
+  grid's features (middle sampled under stop_gradient; decoder.py:182-187).
+- `MLP_no_xyz` (decoder.py:206-274): feature-only input, skip-concat of the
+  feature at block 2.
+- `NICE` stage dispatch (decoder.py:312-342): coarse/middle -> occ only;
+  fine -> fine+middle occ sum; color -> color head's 4-vector with occ
+  overwritten by fine+middle.
+- iMAP* (src/conv_onet/config.py:28-32): single MLP, c_dim=0, hidden 256,
+  4 blocks, no skips, RGB+sigma output.
+
+Weights are stored (in_dim, out_dim) so forward is ``x @ w + b``.
+Dense matmuls are sized N x hidden — batch N large so the MXU sees big
+GEMMs; everything is static-shaped and fuses under jit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nice_slam_tpu.models.embedding import (
+    apply_embedding,
+    embedding_dim,
+    init_fourier_embedding,
+)
+from nice_slam_tpu.ops.grid import normalize_coords, trilinear_interp
+
+STAGES = ("coarse", "middle", "fine", "color")
+
+
+@dataclass(frozen=True)
+class DecoderSpec:
+    name: str = ""
+    c_dim: int = 32
+    hidden: int = 32
+    n_blocks: int = 5
+    skips: Tuple[int, ...] = (2,)
+    color: bool = False
+    concat_feature: bool = False
+    embed: str = "fourier"
+    no_xyz: bool = False
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    nice: bool = True
+    coarse: bool = True
+    c_dim: int = 32
+    hidden: int = 32
+    pos_embedding_method: str = "fourier"
+    coarse_bound_enlarge: int = 2
+
+    def decoder_specs(self):
+        if not self.nice:
+            return {
+                "imap": DecoderSpec(
+                    name="imap", c_dim=0, hidden=256, n_blocks=4, skips=(),
+                    color=True, embed=self.pos_embedding_method,
+                )
+            }
+        specs = {
+            "middle": DecoderSpec(
+                name="middle", c_dim=self.c_dim, hidden=self.hidden,
+                embed=self.pos_embedding_method,
+            ),
+            "fine": DecoderSpec(
+                name="fine", c_dim=self.c_dim * 2, hidden=self.hidden,
+                concat_feature=True, embed=self.pos_embedding_method,
+            ),
+            "color": DecoderSpec(
+                name="color", c_dim=self.c_dim, hidden=self.hidden,
+                color=True, embed=self.pos_embedding_method,
+            ),
+        }
+        if self.coarse:
+            specs["coarse"] = DecoderSpec(
+                name="coarse", c_dim=self.c_dim, hidden=self.hidden,
+                no_xyz=True,
+            )
+        return specs
+
+
+def nice_model_spec(c_dim=32, hidden=32, coarse=True, pos_embedding_method="fourier",
+                    coarse_bound_enlarge=2) -> ModelSpec:
+    return ModelSpec(nice=True, coarse=coarse, c_dim=c_dim, hidden=hidden,
+                     pos_embedding_method=pos_embedding_method,
+                     coarse_bound_enlarge=coarse_bound_enlarge)
+
+
+def imap_model_spec(pos_embedding_method="fourier") -> ModelSpec:
+    return ModelSpec(nice=False, coarse=False,
+                     pos_embedding_method=pos_embedding_method)
+
+
+# ---------------------------------------------------------------------------
+# Initialization (matches torch inits used by the reference)
+
+def _xavier_uniform(key, in_dim, out_dim, gain):
+    a = gain * np.sqrt(6.0 / (in_dim + out_dim))
+    return jax.random.uniform(key, (in_dim, out_dim), minval=-a, maxval=a)
+
+
+def _dense_init(key, in_dim, out_dim, activation="relu"):
+    """DenseLayer init: xavier_uniform by activation gain, zero bias
+    (reference decoder.py:70-79)."""
+    gain = np.sqrt(2.0) if activation == "relu" else 1.0
+    return {"w": _xavier_uniform(key, in_dim, out_dim, gain),
+            "b": jnp.zeros((out_dim,))}
+
+
+def _torch_linear_init(key, in_dim, out_dim):
+    """torch.nn.Linear default init (kaiming-uniform a=sqrt(5) + uniform
+    bias) — used by the reference's fc_c layers (decoder.py:124-126)."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / np.sqrt(in_dim)
+    return {
+        "w": jax.random.uniform(kw, (in_dim, out_dim), minval=-bound, maxval=bound),
+        "b": jax.random.uniform(kb, (out_dim,), minval=-bound, maxval=bound),
+    }
+
+
+def init_decoder(key, spec: DecoderSpec):
+    keys = jax.random.split(key, 3 + 2 * spec.n_blocks)
+    params = {}
+    h = spec.hidden
+
+    if spec.no_xyz:
+        pts = []
+        for i in range(spec.n_blocks):
+            in_dim = h + spec.c_dim if (i - 1) in spec.skips else h
+            pts.append(_dense_init(keys[i], in_dim, h))
+        params["pts"] = pts
+        params["out"] = _dense_init(keys[-1], h, 4 if spec.color else 1,
+                                    activation="linear")
+        return params
+
+    emb = embedding_dim(spec.embed, spec.name)
+    if spec.embed == "fourier":
+        params["embed"] = init_fourier_embedding(keys[-2])
+    elif spec.embed == "fc_relu":
+        params["embed"] = _dense_init(keys[-2], 3, emb)
+    else:
+        params["embed"] = {}
+
+    pts = []
+    for i in range(spec.n_blocks):
+        if i == 0:
+            in_dim = emb
+        elif (i - 1) in spec.skips:
+            in_dim = h + emb
+        else:
+            in_dim = h
+        pts.append(_dense_init(keys[i], in_dim, h))
+    params["pts"] = pts
+
+    if spec.c_dim != 0:
+        params["fc_c"] = [
+            _torch_linear_init(keys[spec.n_blocks + i], spec.c_dim, h)
+            for i in range(spec.n_blocks)
+        ]
+    params["out"] = _dense_init(keys[-1], h, 4 if spec.color else 1,
+                                activation="linear")
+    return params
+
+
+def init_model(key, spec: ModelSpec):
+    dspecs = spec.decoder_specs()
+    keys = jax.random.split(key, len(dspecs))
+    return {name: init_decoder(k, dspecs[name])
+            for k, name in zip(keys, sorted(dspecs))}
+
+
+# ---------------------------------------------------------------------------
+# Forward
+
+def _dense(x, layer):
+    # full-f32 matmul for parity with the reference's CUDA f32 GEMMs; the
+    # perf pass may relax hot decoders to bf16 once ATE impact is measured
+    return jnp.dot(x, layer["w"], precision="highest",
+                   preferred_element_type=jnp.float32) + layer["b"]
+
+
+def apply_mlp(params, spec: DecoderSpec, p: jnp.ndarray, grids, bound):
+    """Coordinate MLP with per-layer grid-feature injection.
+
+    p: (N, 3) world coords. Returns (N, 4) if color else (N,)."""
+    if spec.c_dim != 0:
+        p_nor = normalize_coords(p, bound)
+        c = trilinear_interp(grids[spec.name], p_nor)
+        if spec.concat_feature:
+            c_mid = jax.lax.stop_gradient(
+                trilinear_interp(grids["middle"], p_nor))
+            c = jnp.concatenate([c, c_mid], axis=-1)
+
+    e = apply_embedding(params["embed"], p, spec.embed, spec.name)
+    h = e
+    for i in range(spec.n_blocks):
+        h = jax.nn.relu(_dense(h, params["pts"][i]))
+        if spec.c_dim != 0:
+            h = h + _dense(c, params["fc_c"][i])
+        if i in spec.skips:
+            h = jnp.concatenate([e, h], axis=-1)
+    out = _dense(h, params["out"])
+    return out if spec.color else out[..., 0]
+
+
+def apply_mlp_no_xyz(params, spec: DecoderSpec, p: jnp.ndarray, grids, bound):
+    """Feature-only MLP (coarse level).  bound here is the enlarged coarse
+    bound (reference NICE_SLAM.py:157)."""
+    p_nor = normalize_coords(p, bound)
+    c = trilinear_interp(grids[spec.name], p_nor)
+    h = c
+    for i in range(spec.n_blocks):
+        h = jax.nn.relu(_dense(h, params["pts"][i]))
+        if i in spec.skips:
+            h = jnp.concatenate([c, h], axis=-1)
+    out = _dense(h, params["out"])
+    return out if spec.color else out[..., 0]
+
+
+def model_apply(params, spec: ModelSpec, grids, bound, p: jnp.ndarray,
+                stage: str = "color") -> jnp.ndarray:
+    """Stage-dispatched forward: (N, 3) points -> raw (N, 4) [rgb, occ].
+
+    `stage` must be static under jit (one compile per stage)."""
+    dspecs = spec.decoder_specs()
+    if not spec.nice:
+        return apply_mlp(params["imap"], dspecs["imap"], p, grids, bound)
+
+    if stage == "coarse":
+        coarse_bound = bound * spec.coarse_bound_enlarge
+        occ = apply_mlp_no_xyz(params["coarse"], dspecs["coarse"], p, grids,
+                               coarse_bound)
+        return jnp.concatenate(
+            [jnp.zeros(p.shape[:-1] + (3,)), occ[..., None]], axis=-1)
+    if stage == "middle":
+        occ = apply_mlp(params["middle"], dspecs["middle"], p, grids, bound)
+        return jnp.concatenate(
+            [jnp.zeros(p.shape[:-1] + (3,)), occ[..., None]], axis=-1)
+    if stage == "fine":
+        fine_occ = apply_mlp(params["fine"], dspecs["fine"], p, grids, bound)
+        middle_occ = apply_mlp(params["middle"], dspecs["middle"], p, grids, bound)
+        occ = fine_occ + middle_occ
+        return jnp.concatenate(
+            [jnp.zeros(p.shape[:-1] + (3,)), occ[..., None]], axis=-1)
+    if stage == "color":
+        raw = apply_mlp(params["color"], dspecs["color"], p, grids, bound)
+        fine_occ = apply_mlp(params["fine"], dspecs["fine"], p, grids, bound)
+        middle_occ = apply_mlp(params["middle"], dspecs["middle"], p, grids, bound)
+        return jnp.concatenate(
+            [raw[..., :3], (fine_occ + middle_occ)[..., None]], axis=-1)
+    raise ValueError(f"unknown stage {stage}")

@@ -1,0 +1,103 @@
+"""Ray-data-parallel mapping over a device mesh.
+
+Each device holds a full replica of the map state (grids are tens of MB —
+cheap in HBM) and renders a disjoint shard of the sampled rays; loss
+gradients are `psum`med across the mesh so the Adam update is identical on
+every chip.  This multiplies the ray budget per wall-clock step — the
+mapping hot loop (SURVEY §3.3: 48k point-decodes/iter on one GPU in the
+reference) scales linearly until the per-chip batch is too small to fill
+the MXU.
+
+Built with shard_map so collectives are explicit (one psum per iteration
+over ICI); everything else is the same jitted mapping step as
+nice_slam_tpu/mapping.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from nice_slam_tpu.camera import Camera
+from nice_slam_tpu.mapping import MapSpec, _lr_tree, mapping_loss
+from nice_slam_tpu.models.decoders import ModelSpec
+from nice_slam_tpu.ops import adam_init, adam_update
+from nice_slam_tpu.render import RenderSpec
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(devs[:n], (axis,))
+
+
+def dp_map_optimize(params, grids, bound, window, cams0, masks, cam_lr_mask,
+                    lr_factor, key, camera: Camera,
+                    stage_iters: Tuple[Tuple[str, int], ...],
+                    mapspec: MapSpec, rspec: RenderSpec, mspec: ModelSpec,
+                    mesh: Mesh):
+    """Data-parallel analogue of mapping.map_optimize: same staged
+    schedule, but each step's loss+grad runs sharded over `mesh` with the
+    per-device ray budget = mapspec.pixels (total rays = pixels * n_dev).
+
+    Returns (params, grids, cams, losses)."""
+    n_dev = mesh.devices.size
+    axis = mesh.axis_names[0]
+
+    def sharded_loss_grad(tree, window_, bound_, keys, stage):
+        """Each device evaluates the loss on its own ray shard (its own
+        PRNG key); loss and grads are psummed so every replica applies the
+        identical update."""
+
+        def per_device(tree_, win_, b_, keys_shard):
+            loss, g = jax.value_and_grad(mapping_loss)(
+                tree_, win_, b_, keys_shard[0], camera, stage,
+                mapspec, rspec, mspec)
+            loss = jax.lax.psum(loss, axis)
+            g = jax.tree.map(lambda x: jax.lax.psum(x, axis), g)
+            return loss, g
+
+        rep = lambda t: jax.tree.map(lambda _: P(), t)
+        return jax.shard_map(
+            per_device, mesh=mesh,
+            in_specs=(rep(tree), rep(window_), P(), P(axis)),
+            out_specs=(P(), rep(tree)),
+        )(tree, window_, bound_, keys)
+
+    @partial(jax.jit, static_argnames=())
+    def run(params, grids, cams0, window, bound, masks, cam_lr_mask,
+            lr_factor, key):
+        tree = {"params": params, "grids": grids, "cams": cams0}
+        opt = adam_init(tree)
+        all_losses = []
+        nonlocal_key = key
+        for stage, n_iters in stage_iters:
+            if n_iters == 0:
+                continue
+            lr_tree = _lr_tree(tree, stage, mapspec, lr_factor, cam_lr_mask)
+
+            def step(carry, ks, _stage=stage, _lr=lr_tree):
+                tr, op = carry
+                loss, g = sharded_loss_grad(tr, window, bound, ks, _stage)
+                g = dict(g)
+                g["grids"] = {n: gg * masks[n]
+                              for n, gg in g["grids"].items()}
+                tr, op = adam_update(tr, g, op, _lr)
+                return (tr, op), loss
+
+            nonlocal_key, ks = jax.random.split(nonlocal_key)
+            keys = jax.random.split(ks, n_iters * n_dev).reshape(
+                n_iters, n_dev, 2)
+            (tree, opt), losses = jax.lax.scan(step, (tree, opt), keys)
+            all_losses.append(losses)
+
+        return (tree["params"], tree["grids"], tree["cams"],
+                jnp.concatenate(all_losses) if all_losses
+                else jnp.zeros((0,)))
+
+    return run(params, grids, cams0, window, bound, masks, cam_lr_mask,
+               lr_factor, key)

@@ -1,0 +1,137 @@
+"""Per-frame camera tracking (TPU re-design of src/Tracker.py).
+
+The reference runs a Python loop of Adam steps on a 7-DoF camera tensor
+with a fresh render per iteration (Tracker.py:225-247).  Here the whole
+per-frame optimization is ONE jitted `lax.scan` over iterations: sample
+pixels -> render -> robust loss -> grad -> Adam -> keep the min-loss
+candidate.  The ray AABB prefilter (Tracker.py:93-104) becomes a loss mask
+so shapes stay static.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from nice_slam_tpu.camera import Camera
+from nice_slam_tpu.models.decoders import ModelSpec
+from nice_slam_tpu.ops import adam_init, adam_update, cam_from_tensor
+from nice_slam_tpu.ops.rays import (
+    gather_pixels,
+    ray_aabb_far,
+    rays_from_uv,
+    sample_pixels,
+)
+from nice_slam_tpu.render import RenderSpec, render_rays
+
+
+@dataclass(frozen=True)
+class TrackSpec:
+    iters: int = 10
+    pixels: int = 200
+    lr: float = 0.001
+    seperate_lr: bool = False
+    w_color_loss: float = 0.5
+    ignore_edge_w: int = 20
+    ignore_edge_h: int = 20
+    handle_dynamic: bool = True
+    use_color: bool = True
+    const_speed: bool = True
+    nice: bool = True
+
+
+def masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median of x over mask==True, torch.median semantics (lower middle)."""
+    big = jnp.where(mask, x, jnp.inf)
+    srt = jnp.sort(big)
+    n = jnp.sum(mask.astype(jnp.int32))
+    idx = jnp.maximum((n - 1) // 2, 0)
+    return srt[idx]
+
+
+def tracking_loss(cam, params, grids, bound, gt_color, gt_depth, key,
+                  camera: Camera, tspec: TrackSpec, rspec: RenderSpec,
+                  mspec: ModelSpec):
+    """One tracking loss evaluation at camera 7-vector `cam`.
+
+    Matches Tracker.optimize_cam_in_batch (Tracker.py:71-128): robust
+    depth L1 / sqrt(uncertainty) with 10x-median dynamic-outlier mask,
+    optional color term."""
+    c2w = cam_from_tensor(cam)
+    kpix, krender = jax.random.split(key)
+    i, j = sample_pixels(kpix, tspec.pixels,
+                         tspec.ignore_edge_h, camera.H - tspec.ignore_edge_h,
+                         tspec.ignore_edge_w, camera.W - tspec.ignore_edge_w)
+    rays_o, rays_d = rays_from_uv(i, j, c2w, camera.fx, camera.fy,
+                                  camera.cx, camera.cy)
+    batch_d = gather_pixels(gt_depth, i, j)
+    batch_c = gather_pixels(gt_color, i, j)
+
+    if tspec.nice:
+        t_exit = ray_aabb_far(jax.lax.stop_gradient(rays_o),
+                              jax.lax.stop_gradient(rays_d), bound)
+        inside = t_exit >= batch_d
+    else:
+        inside = jnp.ones_like(batch_d, dtype=bool)
+
+    depth, var, color, _ = render_rays(params, mspec, grids, bound,
+                                       rays_o, rays_d, krender, rspec,
+                                       stage="color", gt_depth=batch_d)
+    var = jax.lax.stop_gradient(var)
+    tmp = jnp.abs(batch_d - depth) / jnp.sqrt(var + 1e-10)
+    if tspec.handle_dynamic:
+        med = masked_median(tmp, inside)
+        mask = (tmp < 10.0 * med) & (batch_d > 0) & inside
+    else:
+        mask = (batch_d > 0) & inside
+
+    loss = jnp.sum(tmp * mask)
+    if tspec.use_color:
+        closs = jnp.sum(jnp.abs(batch_c - color) * mask[:, None])
+        loss = loss + tspec.w_color_loss * closs
+    return loss
+
+
+@partial(jax.jit, static_argnames=("camera", "tspec", "rspec", "mspec"))
+def track_frame(params, grids, bound, cam0, gt_color, gt_depth, key,
+                camera: Camera, tspec: TrackSpec, rspec: RenderSpec,
+                mspec: ModelSpec):
+    """Optimize one frame's camera.  Returns (best_cam, first_loss,
+    last_loss, best_loss).
+
+    The candidate kept is the post-step camera whose pre-step loss was
+    minimal — matching the reference's bookkeeping (Tracker.py:232-247)."""
+    if tspec.seperate_lr:
+        # quaternion LR is 0.2x the translation LR (Tracker.py:202-213)
+        lr = jnp.concatenate([jnp.full((4,), tspec.lr * 0.2),
+                              jnp.full((3,), tspec.lr)])
+    else:
+        lr = jnp.full((7,), tspec.lr)
+
+    opt0 = adam_init(cam0)
+    loss_grad = jax.value_and_grad(tracking_loss)
+
+    def step(carry, k):
+        cam, opt, best_cam, best_loss = carry
+        loss, g = loss_grad(cam, params, grids, bound, gt_color, gt_depth,
+                            k, camera, tspec, rspec, mspec)
+        new_cam, new_opt = adam_update(cam, g, opt, lr)
+        better = loss < best_loss
+        best_cam = jnp.where(better, new_cam, best_cam)
+        best_loss = jnp.where(better, loss, best_loss)
+        return (new_cam, new_opt, best_cam, best_loss), loss
+
+    keys = jax.random.split(key, tspec.iters)
+    (_, _, best_cam, best_loss), losses = jax.lax.scan(
+        step, (cam0, opt0, cam0, jnp.inf), keys)
+    return best_cam, losses[0], losses[-1], best_loss
+
+
+def const_speed_init(pre_c2w, pre_pre_c2w):
+    """Constant-speed motion model: delta = pre @ inv(pre_pre) applied to
+    pre (Tracker.py:192-198).  Inputs/outputs are 4x4."""
+    delta = pre_c2w @ jnp.linalg.inv(pre_pre_c2w)
+    return delta @ pre_c2w

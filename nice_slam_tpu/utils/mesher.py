@@ -1,0 +1,255 @@
+"""Mesh extraction service (TPU re-design of src/utils/Mesher.py).
+
+Pipeline (reference get_mesh, Mesher.py:349-574):
+1. uniform query grid over marching_cubes_bound + 0.05 padding at
+   `resolution` points per axis (Mesher.py:321-347),
+2. occupancy evaluated ON DEVICE in fixed-size chunks through the decoders
+   ('fine' level occupancy = middle+fine; iMAP*: density),
+3. visibility: points are classified seen/unseen by projecting into every
+   keyframe (reference point_masks, Mesher.py:53-212); a convex hull of the
+   backprojected keyframe depth clouds + camera centers (scaled 1.02)
+   replaces the reference's Open3D-TSDF hull (Mesher.py:214-279) — both
+   masks are first-party here (scipy hull, device projection),
+4. iso-surface via the native marching-tetrahedra kernel (nice_slam_tpu/
+   native) instead of scikit-image marching_cubes,
+5. cleaning: cull faces outside the hull / unseen, drop small connected
+   components (scipy csgraph) (Mesher.py:469-510),
+6. vertex colors by direct point query of the color decoder
+   (Mesher.py:513-524); export via first-party PLY writer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nice_slam_tpu.camera import Camera
+from nice_slam_tpu.keyframes import project_points
+from nice_slam_tpu.models.decoders import ModelSpec
+from nice_slam_tpu.render import eval_points
+from nice_slam_tpu.utils.plyio import write_ply
+
+
+@dataclass
+class MeshSpec:
+    resolution: int = 256
+    level_set: float = 0.0
+    clean_mesh: bool = True
+    depth_test: bool = False
+    get_largest_components: bool = False
+    remove_small_geometry_threshold: float = 0.2
+    mesh_bound_scale: float = 1.02
+    points_chunk: int = 65536
+    color: bool = True
+
+
+@partial(jax.jit, static_argnames=("mspec", "stage", "chunk"))
+def _eval_volume_chunked(params, mspec, grids, bound, pts, stage, chunk):
+    n = pts.shape[0]
+    n_pad = (-n) % chunk
+    p = jnp.concatenate([pts, jnp.zeros((n_pad, 3))]).reshape(-1, chunk, 3)
+
+    def body(pc):
+        return eval_points(params, mspec, grids, bound, pc, stage)
+
+    out = jax.lax.map(body, p)
+    return out.reshape(-1, 4)[:n]
+
+
+@partial(jax.jit, static_argnames=("camera", "chunk", "depth_test"))
+def _seen_mask_chunked(pts, kf_c2w, kf_depth, kf_valid, camera: Camera,
+                       chunk, depth_test):
+    """Seen = projects inside some keyframe frustum (reference point_masks;
+    with depth_test also requires agreement with that keyframe's depth
+    within 2.4 m, Mesher.py:96-142)."""
+    n = pts.shape[0]
+    n_pad = (-n) % chunk
+    p = jnp.concatenate([pts, jnp.zeros((n_pad, 3))]).reshape(-1, chunk, 3)
+
+    def body(pc):
+        def per_kf(c2w, depth, valid):
+            u, v, z = project_points(pc, c2w, camera)
+            m = ((u < camera.W) & (u > 0) & (v < camera.H) & (v > 0)
+                 & (z < 0))
+            if depth_test:
+                from nice_slam_tpu.mapping import bilinear_sample_2d
+                d_at = bilinear_sample_2d(depth, u, v)
+                m = m & (-z <= d_at + 2.4) & (d_at - 2.4 <= -z)
+            return m & valid
+
+        seen = jax.vmap(per_kf)(kf_c2w, kf_depth, kf_valid)
+        return jnp.any(seen, axis=0)
+
+    out = jax.lax.map(body, p)
+    return out.reshape(-1)[:n]
+
+
+def _hull_mask(pts: np.ndarray, kf_c2w: np.ndarray, kf_depth: np.ndarray,
+               camera: Camera, scale: float) -> Optional[np.ndarray]:
+    """Convex-hull containment of backprojected keyframe depth clouds +
+    camera centers, scaled about its centroid (reference
+    get_bound_from_frames, Mesher.py:214-279)."""
+    try:
+        from scipy.spatial import Delaunay
+    except ImportError:  # pragma: no cover
+        return None
+
+    cloud = []
+    step = 8
+    jj, ii = np.meshgrid(np.arange(0, camera.H, step),
+                         np.arange(0, camera.W, step), indexing="ij")
+    dirs = np.stack([(ii - camera.cx) / camera.fx,
+                     -(jj - camera.cy) / camera.fy,
+                     -np.ones_like(ii, np.float64)], -1)
+    for c2w, depth in zip(kf_c2w, kf_depth):
+        d = depth[::step, ::step]
+        ok = d > 0
+        if not ok.any():
+            continue
+        pts_cam = dirs[ok] * d[ok][:, None]
+        pts_w = pts_cam @ c2w[:3, :3].T + c2w[:3, 3]
+        cloud.append(pts_w)
+        cloud.append(c2w[None, :3, 3])
+    if not cloud:
+        return None
+    cloud = np.concatenate(cloud, axis=0)
+    centroid = cloud.mean(axis=0)
+    cloud = (cloud - centroid) * scale + centroid
+    try:
+        tri = Delaunay(cloud[np.random.RandomState(0).choice(
+            len(cloud), min(len(cloud), 20000), replace=False)])
+    except Exception:  # degenerate geometry
+        return None
+    return tri.find_simplex(pts) >= 0
+
+
+def _component_filter(verts: np.ndarray, tris: np.ndarray,
+                      keep_largest: bool, area_threshold: float):
+    """Drop small connected components (reference Mesher.py:469-510)."""
+    if len(tris) == 0:
+        return tris
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    nv = len(verts)
+    e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+    adj = coo_matrix((np.ones(len(e)), (e[:, 0], e[:, 1])), shape=(nv, nv))
+    _, labels = connected_components(adj, directed=False)
+    face_label = labels[tris[:, 0]]
+
+    v0, v1, v2 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+    areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
+    comp_area = np.bincount(face_label, weights=areas)
+    if keep_largest:
+        keep = face_label == np.argmax(comp_area)
+    else:
+        keep = comp_area[face_label] >= area_threshold
+    return tris[keep]
+
+
+def extract_mesh(params, mspec: ModelSpec, grids, bound, mc_bound,
+                 camera: Camera, spec: MeshSpec,
+                 kf_c2w=None, kf_depth=None, n_keyframes: int = 0,
+                 out_path: Optional[str] = None):
+    """Extract (and optionally save) the scene mesh.
+
+    Returns (verts (V,3), tris (T,3), colors (V,3) uint8 or None)."""
+    mc_bound = np.asarray(mc_bound, np.float64)
+    pad = 0.05
+    res = spec.resolution
+    axes = [np.linspace(mc_bound[a, 0] - pad, mc_bound[a, 1] + pad, res)
+            for a in range(3)]
+    X, Y, Z = np.meshgrid(*axes, indexing="ij")
+    pts = np.stack([X, Y, Z], -1).reshape(-1, 3).astype(np.float32)
+
+    stage = "fine" if mspec.nice else "color"
+    raw = _eval_volume_chunked(params, mspec, grids, bound,
+                               jnp.asarray(pts), stage, spec.points_chunk)
+    occ = np.asarray(raw[:, 3])
+
+    seen = None
+    if kf_c2w is not None and n_keyframes > 0:
+        valid = np.zeros(len(kf_c2w), bool)
+        valid[:n_keyframes] = True
+        seen = np.asarray(_seen_mask_chunked(
+            jnp.asarray(pts), jnp.asarray(kf_c2w), jnp.asarray(kf_depth),
+            jnp.asarray(valid), camera, spec.points_chunk, spec.depth_test))
+        # unseen space is forced solid so no spurious surface appears there;
+        # faces there are culled below (reference occ=-100/100 trick,
+        # Mesher.py:404-433 — sign flipped to match occupancy polarity)
+        occ = np.where(seen, occ, 100.0)
+
+    vol = occ.reshape(res, res, res)
+    origin = np.array([axes[0][0], axes[1][0], axes[2][0]])
+    spacing = np.array([axes[0][1] - axes[0][0], axes[1][1] - axes[1][0],
+                        axes[2][1] - axes[2][0]])
+
+    # occupancy: inside = occ > level; marching_tetrahedra uses > iso
+    from nice_slam_tpu.native import marching_tetrahedra
+    verts, tris = marching_tetrahedra(vol, spec.level_set, origin, spacing)
+
+    if spec.clean_mesh and len(verts) and kf_c2w is not None \
+            and n_keyframes > 0:
+        valid = np.zeros(len(kf_c2w), bool)
+        valid[:n_keyframes] = True
+        vseen = np.asarray(_seen_mask_chunked(
+            jnp.asarray(verts), jnp.asarray(kf_c2w), jnp.asarray(kf_depth),
+            jnp.asarray(valid), camera, spec.points_chunk, spec.depth_test))
+        hull = _hull_mask(verts, np.asarray(kf_c2w)[:n_keyframes],
+                          np.asarray(kf_depth)[:n_keyframes], camera,
+                          spec.mesh_bound_scale)
+        vkeep = vseen if hull is None else (vseen & hull)
+        fkeep = vkeep[tris].all(axis=1)
+        tris = tris[fkeep]
+        tris = _component_filter(verts, tris, spec.get_largest_components,
+                                 spec.remove_small_geometry_threshold)
+        used = np.zeros(len(verts), bool)
+        used[tris.reshape(-1)] = True
+        remap = np.cumsum(used) - 1
+        verts = verts[used]
+        tris = remap[tris]
+
+    colors = None
+    if spec.color and mspec.nice and len(verts):
+        raw_c = _eval_volume_chunked(params, mspec, grids, bound,
+                                     jnp.asarray(verts), "color",
+                                     spec.points_chunk)
+        colors = np.clip(np.asarray(raw_c[:, :3]), 0, 1)
+        colors = (colors * 255 + 0.5).astype(np.uint8)
+
+    if out_path is not None and len(verts):
+        import os
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        write_ply(out_path, verts, tris, colors)
+    return verts, tris, colors
+
+
+def engine_mesher_hook(engine, idx: int, final: bool):
+    """Engine hook: extract/save a mesh like the reference mapper does
+    (Mapper.py:636-654)."""
+    import os
+
+    cfg = engine.cfg
+    spec = MeshSpec(
+        resolution=cfg["meshing"]["resolution"],
+        level_set=cfg["meshing"]["level_set"],
+        clean_mesh=cfg["meshing"]["clean_mesh"],
+        depth_test=cfg["meshing"]["depth_test"],
+        get_largest_components=cfg["meshing"]["get_largest_components"],
+        remove_small_geometry_threshold=
+            cfg["meshing"]["remove_small_geometry_threshold"],
+        mesh_bound_scale=cfg["meshing"]["clean_mesh_bound_scale"],
+    )
+    name = "final_mesh.ply" if final else f"{idx:05d}_mesh.ply"
+    out = os.path.join(engine.output, "mesh", name)
+    extract_mesh(
+        engine.map_state.params, engine.specs.model, engine.map_state.grids,
+        engine.bound, cfg["mapping"]["marching_cubes_bound"],
+        engine.specs.camera, spec,
+        kf_c2w=engine.store.est_c2w, kf_depth=engine.store.depths,
+        n_keyframes=int(engine.store.count), out_path=out)

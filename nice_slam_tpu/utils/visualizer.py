@@ -1,0 +1,82 @@
+"""Debug visualizer: GT / rendered / residual panels per iteration.
+
+Equivalent of src/utils/Visualizer.py: every (freq, inside_freq) the
+current frame is fully rendered and a 2x3 matplotlib panel (depth row,
+color row) is saved to <vis_dir>/{idx:05d}_{iter:04d}.jpg."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def save_panel(out_path: str, gt_depth: np.ndarray, gt_color: np.ndarray,
+               depth: np.ndarray, color: np.ndarray) -> None:
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    depth_residual = np.abs(gt_depth - depth)
+    depth_residual[gt_depth == 0.0] = 0.0
+    color_residual = np.abs(gt_color - color)
+    color_residual[gt_depth == 0.0] = 0.0
+
+    fig, axs = plt.subplots(2, 3, figsize=(12, 7))
+    max_depth = float(np.max(gt_depth)) or 1.0
+    for a, (img, title) in enumerate([
+            (gt_depth, "Input Depth"), (depth, "Generated Depth"),
+            (depth_residual, "Depth Residual")]):
+        axs[0, a].imshow(img, cmap="plasma", vmin=0, vmax=max_depth)
+        axs[0, a].set_title(title)
+        axs[0, a].set_xticks([])
+        axs[0, a].set_yticks([])
+    for a, (img, title) in enumerate([
+            (gt_color, "Input RGB"), (np.clip(color, 0, 1), "Generated RGB"),
+            (np.clip(color_residual, 0, 1), "RGB Residual")]):
+        axs[1, a].imshow(img)
+        axs[1, a].set_title(title)
+        axs[1, a].set_xticks([])
+        axs[1, a].set_yticks([])
+    plt.subplots_adjust(wspace=0, hspace=0)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    plt.savefig(out_path, dpi=120, bbox_inches="tight", pad_inches=0.2)
+    plt.close(fig)
+
+
+class Visualizer:
+    def __init__(self, freq: int, inside_freq: int, vis_dir: str):
+        self.freq = freq
+        self.inside_freq = inside_freq
+        self.vis_dir = vis_dir
+
+    def maybe_vis(self, engine, idx: int, it: int, gt_color, gt_depth,
+                  c2w) -> Optional[str]:
+        if idx % self.freq != 0 or it % self.inside_freq != 0:
+            return None
+        import jax
+        import jax.numpy as jnp
+
+        from nice_slam_tpu.render import render_image
+
+        s = engine.specs
+        depth, _, color = render_image(
+            engine.map_state.params, s.model, engine.map_state.grids,
+            engine.bound, jnp.asarray(c2w), s.camera,
+            jax.random.PRNGKey(0), s.render, "color", jnp.asarray(gt_depth))
+        out = os.path.join(self.vis_dir, f"{idx:05d}_{it:04d}.jpg")
+        save_panel(out, np.asarray(gt_depth), np.asarray(gt_color),
+                   np.asarray(depth), np.asarray(color))
+        return out
+
+
+def make_engine_vis_hook(vis_dir: str, freq: int = 50):
+    """Engine-level hook: render a tracking panel every `freq` frames."""
+    vis = Visualizer(freq, 1, vis_dir)
+
+    def hook(engine, idx, color, depth):
+        vis.maybe_vis(engine, idx, 0, np.asarray(color), np.asarray(depth),
+                      engine.est_c2w[idx])
+
+    return hook

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Run the TPU-native SLAM engine on a scene config.
+
+Usage (mirrors the reference CLI, run.py:22-41):
+    python run.py configs/Replica/room0.yaml
+    python run.py configs/Demo/demo.yaml --output output/demo
+    python run.py configs/Replica/room0.yaml --imap
+    python run.py --synthetic 120           # built-in synthetic scene
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main():
+    ap = argparse.ArgumentParser(description="nice-slam-tpu SLAM runner")
+    ap.add_argument("config", nargs="?", default=None,
+                    help="scene config yaml")
+    ap.add_argument("--input_folder", type=str, default=None,
+                    help="overrides the input folder in the config")
+    ap.add_argument("--output", type=str, default=None,
+                    help="overrides the output folder in the config")
+    group = ap.add_mutually_exclusive_group()
+    group.add_argument("--nice", action="store_true", default=True)
+    group.add_argument("--imap", action="store_false", dest="nice")
+    ap.add_argument("--synthetic", type=int, default=None, metavar="N",
+                    help="run on the built-in synthetic scene with N frames")
+    ap.add_argument("--frames", type=int, default=None,
+                    help="limit the number of frames processed")
+    ap.add_argument("--resume", type=str, default=None,
+                    help="checkpoint to resume from")
+    ap.add_argument("--no-mesh", action="store_true",
+                    help="skip mesh extraction")
+    args = ap.parse_args()
+
+    from nice_slam_tpu.config import load_config
+    from nice_slam_tpu.engine import SlamEngine
+
+    overrides = {}
+    if args.synthetic is not None:
+        overrides = {
+            "dataset": "synthetic",
+            "synthetic": {"n_frames": args.synthetic},
+            "cam": {"H": 240, "W": 320, "fx": 240.0, "fy": 240.0,
+                    "cx": 159.5, "cy": 119.5},
+            "grid_len": {"coarse": 1.0},
+            "mapping": {"bound": [[-0.5, 4.5], [-0.5, 3.5], [-0.5, 4.5]],
+                        "marching_cubes_bound":
+                            [[0.0, 4.0], [0.0, 3.0], [0.0, 4.0]]},
+            "data": {"output": "output/synthetic"},
+        }
+    if args.input_folder:
+        overrides.setdefault("data", {})["input_folder"] = args.input_folder
+    if args.output:
+        overrides.setdefault("data", {})["output"] = args.output
+
+    cfg = load_config(args.config, nice=args.nice, overrides=overrides)
+
+    mesher_hook = None
+    if not args.no_mesh:
+        try:
+            from nice_slam_tpu.utils.mesher import engine_mesher_hook
+            mesher_hook = engine_mesher_hook
+        except ImportError:
+            pass
+
+    eng = SlamEngine(cfg, mesher_hook=mesher_hook)
+    if args.resume:
+        eng.resume(args.resume)
+    eng.run(n_frames=args.frames, progress=True)
+
+    stats = eng.ate()
+    print(json.dumps({"ate_rmse_m": stats["rmse"],
+                      "ate_mean_m": stats["mean"],
+                      "frames": eng.frames_done,
+                      "timings_s": eng.timings}, indent=2))
+    os.makedirs(eng.output, exist_ok=True)
+    with open(os.path.join(eng.output, "ate.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

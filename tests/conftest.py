@@ -1,0 +1,23 @@
+"""Test configuration: force CPU with an 8-device virtual mesh so sharding
+tests run anywhere, and enable the persistent compilation cache (this
+sandbox has few cores; first-run compiles dominate otherwise)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
+# keep torch (test oracle) from fighting jax for the 2 cores
+try:
+    import torch
+
+    torch.set_num_threads(1)
+except ImportError:
+    pass

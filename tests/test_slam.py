@@ -1,0 +1,133 @@
+"""End-to-end SLAM tests on the synthetic scene (small budgets, CPU).
+
+Plays the role of the reference's Demo-sequence smoke run (SURVEY §4):
+verifies that mapping learns the scene (loss decreases, depth renders
+converge) and that tracking stays locked onto the ground-truth trajectory.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nice_slam_tpu.config import load_config, specs_from_config
+from nice_slam_tpu.engine import SlamEngine
+from nice_slam_tpu.utils.datasets import get_dataset
+
+TEST_CFG = {
+    "dataset": "synthetic",
+    "synthetic": {"n_frames": 9},
+    "verbose": False,
+    "cam": {
+        "H": 60, "W": 80, "fx": 60.0, "fy": 60.0, "cx": 39.5, "cy": 29.5,
+        "crop_edge": 0,
+    },
+    "grid_len": {"coarse": 1.0, "middle": 0.32, "fine": 0.16, "color": 0.16},
+    "mapping": {
+        "bound": [[-0.5, 4.5], [-0.5, 3.5], [-0.5, 4.5]],
+        "marching_cubes_bound": [[0.0, 4.0], [0.0, 3.0], [0.0, 4.0]],
+        "every_frame": 4,
+        "iters_first": 120,
+        "iters": 25,
+        "pixels": 400,
+        "mapping_window_size": 4,
+        "keyframe_every": 4,
+        "ckpt_freq": 10000,
+        "mesh_freq": 10000,
+        "color_refine": False,
+        # no pretrained decoders in this repo: train them online
+        "fix_fine": False,
+        "train_middle_decoder": True,
+    },
+    "tracking": {"iters": 8, "pixels": 200, "ignore_edge_W": 5,
+                 "ignore_edge_H": 5},
+    "rendering": {"N_samples": 24, "N_surface": 12},
+    "tpu": {"seed": 0},
+}
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = load_config(overrides=TEST_CFG)
+    eng = SlamEngine(cfg, output="/tmp/nice_slam_tpu_test")
+    eng.run(progress=False)
+    return eng
+
+
+class TestEndToEnd:
+    def test_trajectory_complete_and_finite(self, engine):
+        n = engine.n_img
+        assert engine.frames_done == n
+        assert np.isfinite(engine.est_c2w[:n]).all()
+
+    def test_tracking_follows_gt(self, engine):
+        stats = engine.ate()
+        # synthetic scene + short budgets: assert no divergence.
+        assert stats["rmse"] < 0.25, stats
+
+    def test_keyframes_inserted(self, engine):
+        assert len(engine.kf_frame_ids) >= 2
+        assert 0 in engine.kf_frame_ids
+
+    def test_mapping_learned_geometry(self, engine):
+        """Rendered depth at a GT pose should approximate sensor depth."""
+        from nice_slam_tpu.render import render_image
+
+        _, color, depth, pose = engine.dataset[0]
+        s = engine.specs
+        dimg, _, cimg = render_image(
+            engine.map_state.params, s.model, engine.map_state.grids,
+            engine.bound, jnp.asarray(pose), s.camera,
+            jax.random.PRNGKey(0), s.render, "color", jnp.asarray(depth))
+        err = np.abs(np.asarray(dimg) - depth)
+        med = float(np.median(err[depth > 0]))
+        assert med < 0.15, f"median depth err {med}"
+
+    def test_checkpoint_resume_roundtrip(self, engine, tmp_path):
+        p = str(tmp_path / "ck.npz")
+        engine.save(p)
+        cfg = load_config(overrides=TEST_CFG)
+        eng2 = SlamEngine(cfg, output="/tmp/nice_slam_tpu_test2")
+        eng2.resume(p)
+        assert eng2.frames_done == engine.frames_done
+        np.testing.assert_allclose(eng2.est_c2w, engine.est_c2w)
+        g1 = jax.device_get(engine.map_state.grids["middle"])
+        g2 = jax.device_get(eng2.map_state.grids["middle"])
+        np.testing.assert_allclose(g1, g2)
+        assert eng2.kf_frame_ids == engine.kf_frame_ids
+
+
+class TestTrackingConvergence:
+    def test_pose_refinement_reduces_error(self, engine):
+        """Perturb a GT pose; tracking should pull it back."""
+        from nice_slam_tpu.ops import tensor_from_cam
+        from nice_slam_tpu.tracking import track_frame
+
+        idx = 4
+        _, color, depth, pose = engine.dataset[idx]
+        cam_gt = tensor_from_cam(jnp.asarray(pose))
+        perturbed = cam_gt + jnp.array([0.00, 0.003, -0.003, 0.002,
+                                        0.02, -0.02, 0.015])
+        s = engine.specs
+        best_cam, first_loss, last_loss, best_loss = track_frame(
+            engine.map_state.params, engine.map_state.grids, engine.bound,
+            perturbed, jnp.asarray(color), jnp.asarray(depth),
+            jax.random.PRNGKey(7), s.camera, s.track, s.render, s.model)
+        err0 = float(jnp.abs(perturbed - cam_gt).mean())
+        err1 = float(jnp.abs(best_cam - cam_gt).mean())
+        assert err1 < err0, (err0, err1)
+        assert float(best_loss) <= float(first_loss)
+
+
+class TestGtCameraMode:
+    def test_gt_camera_skips_optimization(self):
+        cfg = load_config(overrides={**TEST_CFG,
+                                     "synthetic": {"n_frames": 5},
+                                     "tracking": {**TEST_CFG["tracking"],
+                                                  "gt_camera": True},
+                                     "mapping": {**TEST_CFG["mapping"],
+                                                 "iters_first": 40,
+                                                 "iters": 10}})
+        eng = SlamEngine(cfg, output="/tmp/nice_slam_tpu_test3")
+        eng.run()
+        np.testing.assert_allclose(eng.est_c2w[:5], eng.gt_c2w[:5])
