@@ -40,8 +40,9 @@ DEFAULTS: Dict[str, Any] = {
         "bound_divisible": 0.32,
     },
     "pretrained_decoders": {
-        "coarse": "pretrained/coarse.pt",
+        "coarse": "pretrained/coarse.pt",          # reference-format torch
         "middle_fine": "pretrained/middle_fine.pt",
+        "tpu_npz": "pretrained/decoders_tpu.npz",  # this repo's own
     },
     "meshing": {
         "level_set": 0.0,
@@ -82,6 +83,7 @@ DEFAULTS: Dict[str, Any] = {
         "fix_fine": True,
         "fix_color": False,
         "train_middle_decoder": False,
+        "grad_clip": 0.0,
         "no_vis_on_first_frame": True,
         "no_mesh_on_first_frame": True,
         "no_log_on_first_frame": True,
@@ -266,6 +268,7 @@ def specs_from_config(cfg: dict) -> SlamSpecs:
         fine_iter_ratio=m["fine_iter_ratio"],
         fix_fine=m["fix_fine"], fix_color=m["fix_color"],
         train_middle=m.get("train_middle_decoder", False),
+        grad_clip=m.get("grad_clip", 0.0),
         frustum_selection=m["frustum_feature_selection"],
         keyframe_selection=m["keyframe_selection_method"],
         keyframe_every=m["keyframe_every"],

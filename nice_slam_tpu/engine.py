@@ -80,6 +80,7 @@ class SlamEngine:
         self.map_state = make_map_state(
             kstate, self.specs.model, m["bound"], cfg["grid_len"],
             cfg["grid_len"]["bound_divisible"])
+        self._load_pretrained_decoders()
 
         cap = cfg["tpu"].get("keyframe_capacity") or (
             self.n_img // self.keyframe_every + 4)
@@ -93,6 +94,28 @@ class SlamEngine:
         self.frames_done = 0
         self.timings = {"track": 0.0, "map": 0.0, "coarse_map": 0.0,
                         "io": 0.0}
+
+    def _load_pretrained_decoders(self):
+        """Load frozen decoder weights: this repo's npz if present, else
+        reference-format torch checkpoints (NICE_SLAM.py:159-190), else
+        keep the calibrated random init (with a warning)."""
+        if not self.cfg.get("nice", True):
+            return
+        pt = self.cfg.get("pretrained_decoders", {})
+        npz = pt.get("tpu_npz")
+        if npz and os.path.exists(npz):
+            from nice_slam_tpu.models.pretrain import load_npz_decoders
+            self.map_state.params = load_npz_decoders(
+                npz, self.map_state.params)
+            if self.verbose:
+                print(f"loaded pretrained decoders from {npz}")
+            return
+        coarse_p, mf_p = pt.get("coarse"), pt.get("middle_fine")
+        if (coarse_p and os.path.exists(coarse_p)) or \
+                (mf_p and os.path.exists(mf_p)):
+            from nice_slam_tpu.models.pretrain import load_pretrained_decoders
+            self.map_state.params = load_pretrained_decoders(
+                self.map_state.params, self.specs.model, coarse_p, mf_p)
 
     # -- helpers -----------------------------------------------------------
 

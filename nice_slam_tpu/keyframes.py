@@ -132,7 +132,10 @@ def select_keyframes_overlap(key, store: KeyframeStore, gt_color, gt_depth,
 
     percents = jax.vmap(percent_for)(store.est_c2w)  # (K,)
     slot_ids = jnp.arange(store.capacity)
-    stored = slot_ids < store.count
+    # the most recent keyframe is excluded here — it joins the window
+    # unconditionally (reference selects among keyframe_dict[:-1],
+    # Mapper.py:265-270)
+    stored = slot_ids < store.count - 1
     qualify = stored & (percents > 0.0)
     # uniform random top-k over qualifying slots
     scores = jnp.where(qualify, jax.random.uniform(kr, (store.capacity,)), -1.0)

@@ -79,6 +79,9 @@ class MapSpec:
     nice: bool = True
     coarse_mapper: bool = False
     imap_decoders_lr: float = 0.0002
+    # optional global-norm gradient clipping (0 = off).  The reference has
+    # no clipping; this is a stability net for pretrain-free decoders.
+    grad_clip: float = 0.0
     stage_lr: Tuple[Tuple[str, StageLR], ...] = tuple(
         sorted(DEFAULT_STAGE_LR.items()))
 
@@ -293,6 +296,11 @@ def map_optimize(params, grids, bound, window, cams0, masks, cam_lr_mask,
                                 mapspec, rspec, mspec)
             g = dict(g)
             g["grids"] = {n: gg * masks[n] for n, gg in g["grids"].items()}
+            if mapspec.grad_clip > 0.0:
+                gnorm = jnp.sqrt(sum(
+                    jnp.sum(x * x) for x in jax.tree.leaves(g)))
+                scale = jnp.minimum(1.0, mapspec.grad_clip / (gnorm + 1e-12))
+                g = jax.tree.map(lambda x: x * scale, g)
             if not mapspec.nice:
                 # iMAP* StepLR(200, 0.8) on decoder lr (Mapper.py:388-389)
                 scale = 0.8 ** (op.step // 200).astype(jnp.float32)

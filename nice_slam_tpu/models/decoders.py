@@ -131,6 +131,22 @@ def _torch_linear_init(key, in_dim, out_dim):
     }
 
 
+def _calibrate_head(out_params, spec: DecoderSpec):
+    """Calibrate the occupancy head at init: small weights and a slightly
+    negative occupancy bias so sigmoid(10*occ) starts in its responsive
+    range with an 'empty space' prior.
+
+    The reference never runs from random init — its ConvONet-pretrained
+    decoders are calibrated by training (NICE_SLAM.py:159-190).  A raw
+    xavier head emits logits ~N(0,2): |occ| > 2 makes sigmoid(10*occ)
+    exactly 0/1 in f32 and kills all gradients through that sample, which
+    destabilizes pretrain-free runs."""
+    occ_idx = 3 if spec.color else 0
+    w = out_params["w"] * 0.1
+    b = out_params["b"].at[occ_idx].set(-0.2)
+    return {"w": w, "b": b}
+
+
 def init_decoder(key, spec: DecoderSpec):
     keys = jax.random.split(key, 3 + 2 * spec.n_blocks)
     params = {}
@@ -142,8 +158,9 @@ def init_decoder(key, spec: DecoderSpec):
             in_dim = h + spec.c_dim if (i - 1) in spec.skips else h
             pts.append(_dense_init(keys[i], in_dim, h))
         params["pts"] = pts
-        params["out"] = _dense_init(keys[-1], h, 4 if spec.color else 1,
-                                    activation="linear")
+        params["out"] = _calibrate_head(
+            _dense_init(keys[-1], h, 4 if spec.color else 1,
+                        activation="linear"), spec)
         return params
 
     emb = embedding_dim(spec.embed, spec.name)
@@ -170,8 +187,9 @@ def init_decoder(key, spec: DecoderSpec):
             _torch_linear_init(keys[spec.n_blocks + i], spec.c_dim, h)
             for i in range(spec.n_blocks)
         ]
-    params["out"] = _dense_init(keys[-1], h, 4 if spec.color else 1,
-                                activation="linear")
+    params["out"] = _calibrate_head(
+        _dense_init(keys[-1], h, 4 if spec.color else 1,
+                    activation="linear"), spec)
     return params
 
 

@@ -105,6 +105,31 @@ def load_pretrained_decoders(params: dict, spec: ModelSpec,
     return params
 
 
+def load_npz_decoders(path: str, params_template: dict) -> dict:
+    """Load decoders pretrained by tools/pretrain_decoders.py (.npz of the
+    flattened param pytree).  Keys missing from the checkpoint keep their
+    current (template) values."""
+    import numpy as np
+
+    from nice_slam_tpu.utils.checkpoint import _unflatten
+
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+
+    def fill(template, prefix):
+        if isinstance(template, dict):
+            return {k: fill(v, f"{prefix}/{k}") for k, v in template.items()}
+        if isinstance(template, (list, tuple)):
+            return type(template)(
+                fill(v, f"{prefix}/{i}") for i, v in enumerate(template))
+        arr = flat.get(prefix)
+        if arr is not None and arr.shape == tuple(template.shape):
+            return jnp.asarray(arr)
+        return template
+
+    return fill(params_template, "params")
+
+
 def pretrain_decoders_synthetic(key, params: dict, spec: ModelSpec,
                                 bound, steps: int = 2000,
                                 batch: int = 4096, lr: float = 1e-3,

@@ -104,12 +104,20 @@ class TestKeyframes:
         assert chosen <= {0, 1}
 
     def test_overlap_selection(self):
-        cam = Camera(H=8, W=10, fx=8.0, fy=8.0, cx=4.5, cy=3.5)
-        store = self._store(3)
+        # image must be larger than the 2x20 px frustum edge margin the
+        # selector uses (reference Mapper.py:213-215)
+        cam = Camera(H=64, W=80, fx=64.0, fy=64.0, cx=39.5, cy=31.5)
+        store = make_store(6, 64, 80)
+        for i in range(3):
+            c2w = np.eye(4, dtype=np.float32)
+            c2w[:3, 3] = [i * 0.05, 0, 0]
+            store = add_keyframe(
+                store, jnp.full((64, 80, 3), 0.5), jnp.full((64, 80), 1.0),
+                jnp.asarray(c2w), jnp.asarray(c2w), i * 5)
         cur = np.eye(4, dtype=np.float32)
         slots, valid = select_keyframes_overlap(
-            jax.random.PRNGKey(1), store, jnp.full((8, 10, 3), 0.5),
-            jnp.full((8, 10), 1.0), jnp.asarray(cur), cam, 2)
+            jax.random.PRNGKey(1), store, jnp.full((64, 80, 3), 0.5),
+            jnp.full((64, 80), 1.0), jnp.asarray(cur), cam, 2)
         assert slots.shape == (2,)
         # co-located keyframes see the same volume -> some should qualify
         assert bool(valid.any())

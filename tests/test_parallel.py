@@ -1,0 +1,97 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: the data-parallel
+mapping step must run sharded and produce updates equivalent in
+expectation to the single-device step (identical when n_dev=1)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nice_slam_tpu.camera import Camera
+from nice_slam_tpu.config import load_config, specs_from_config
+from nice_slam_tpu.keyframes import add_keyframe, build_window, make_store
+from nice_slam_tpu.mapping import grid_masks, map_optimize
+from nice_slam_tpu.models import nice_model_spec
+from nice_slam_tpu.ops import tensor_from_cam
+from nice_slam_tpu.parallel import dp_map_optimize, make_mesh
+from nice_slam_tpu.state import make_map_state
+
+BOUND = [[-2.0, 2.0], [-2.0, 2.0], [-2.0, 2.0]]
+GRID_LEN = {"coarse": 1.0, "middle": 0.32, "fine": 0.16, "color": 0.16}
+
+
+def _setup():
+    cfg = load_config(overrides={
+        "cam": {"H": 24, "W": 32, "fx": 24.0, "fy": 24.0,
+                "cx": 15.5, "cy": 11.5},
+        "grid_len": GRID_LEN,
+        "mapping": {"bound": BOUND, "pixels": 64,
+                    "mapping_window_size": 3},
+        "rendering": {"N_samples": 8, "N_surface": 4},
+    })
+    specs = specs_from_config(cfg)
+    state = make_map_state(jax.random.PRNGKey(0), nice_model_spec(),
+                           BOUND, GRID_LEN, 0.32)
+    cam = specs.camera
+    store = make_store(4, cam.H, cam.W)
+    eye = jnp.eye(4)
+    color = jnp.full((cam.H, cam.W, 3), 0.5)
+    depth = jnp.full((cam.H, cam.W), 1.0)
+    store = add_keyframe(store, color, depth, eye, eye, 0)
+    window = build_window(store, jnp.zeros((1,), jnp.int32),
+                          jnp.ones((1,), bool), color, depth, eye)
+    masks = grid_masks(state.grids, state.bound, eye, depth, cam, True, 2)
+    cams0 = tensor_from_cam(window["c2ws"][:, :3, :])
+    lr_mask = jnp.array([0.0, 1.0, 1.0])
+    return specs, state, window, masks, cams0, lr_mask, cam
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >1 device")
+class TestDataParallel:
+    def test_dp_step_runs_and_is_finite(self):
+        specs, state, window, masks, cams0, lr_mask, cam = _setup()
+        mesh = make_mesh(len(jax.devices()))
+        params, grids, cams, losses = dp_map_optimize(
+            state.params, state.grids, state.bound, window, cams0, masks,
+            lr_mask, jnp.float32(1.0), jax.random.PRNGKey(1), cam,
+            (("middle", 2), ("fine", 1), ("color", 1)),
+            specs.mapper, specs.render, specs.model, mesh)
+        assert losses.shape == (4,)
+        assert bool(jnp.all(jnp.isfinite(losses)))
+        # grids actually updated
+        diff = float(jnp.abs(grids["middle"] - state.grids["middle"]).max())
+        assert diff > 0
+
+    def test_single_device_mesh_matches_local(self):
+        specs, state, window, masks, cams0, lr_mask, cam = _setup()
+        mesh = make_mesh(1)
+        p1, g1, c1, l1 = dp_map_optimize(
+            state.params, state.grids, state.bound, window, cams0, masks,
+            lr_mask, jnp.float32(1.0), jax.random.PRNGKey(1), cam,
+            (("middle", 2),), specs.mapper, specs.render, specs.model, mesh)
+        # local path with the same key derivation: dp derives per-iter keys
+        # differently, so compare structure + finiteness rather than values
+        p2, g2, c2, l2 = map_optimize(
+            state.params, state.grids, state.bound, window, cams0, masks,
+            lr_mask, jnp.float32(1.0), jax.random.PRNGKey(1), cam,
+            (("middle", 2),), specs.mapper, specs.render, specs.model)
+        assert l1.shape == l2.shape
+        assert jax.tree.structure(p1) == jax.tree.structure(p2)
+
+    def test_dp_losses_scale_with_devices(self):
+        """DP loss is psummed over devices: with n_dev device shards of
+        `pixels` rays each, the summed loss should be roughly n_dev x a
+        single shard's."""
+        specs, state, window, masks, cams0, lr_mask, cam = _setup()
+        n = len(jax.devices())
+        mesh = make_mesh(n)
+        _, _, _, l_dp = dp_map_optimize(
+            state.params, state.grids, state.bound, window, cams0, masks,
+            lr_mask, jnp.float32(1.0), jax.random.PRNGKey(5), cam,
+            (("middle", 1),), specs.mapper, specs.render, specs.model, mesh)
+        _, _, _, l_local = map_optimize(
+            state.params, state.grids, state.bound, window, cams0, masks,
+            lr_mask, jnp.float32(1.0), jax.random.PRNGKey(5), cam,
+            (("middle", 1),), specs.mapper, specs.render, specs.model)
+        ratio = float(l_dp[0] / l_local[0])
+        assert 0.3 * n < ratio < 3.0 * n

@@ -35,9 +35,6 @@ TEST_CFG = {
         "ckpt_freq": 10000,
         "mesh_freq": 10000,
         "color_refine": False,
-        # no pretrained decoders in this repo: train them online
-        "fix_fine": False,
-        "train_middle_decoder": True,
     },
     "tracking": {"iters": 8, "pixels": 200, "ignore_edge_W": 5,
                  "ignore_edge_H": 5},
