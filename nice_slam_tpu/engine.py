@@ -35,16 +35,13 @@ from nice_slam_tpu.config import SlamSpecs, specs_from_config
 from nice_slam_tpu.keyframes import (
     KeyframeStore,
     add_keyframe,
-    build_window,
     make_store,
-    select_keyframes_global,
-    select_keyframes_overlap,
     update_poses,
 )
-from nice_slam_tpu.mapping import grid_masks, map_optimize
+from nice_slam_tpu.mapping import map_optimize, prepare_mapping
 from nice_slam_tpu.ops import cam_from_tensor, tensor_from_cam, to_homogeneous
 from nice_slam_tpu.state import make_map_state
-from nice_slam_tpu.tracking import const_speed_init, track_frame
+from nice_slam_tpu.tracking import track_frame_full
 from nice_slam_tpu.utils.checkpoint import save_checkpoint
 from nice_slam_tpu.utils.datasets import get_dataset
 
@@ -73,6 +70,15 @@ class SlamEngine:
         self.lr_first_factor = m["lr_first_factor"]
         self.color_refine = m["color_refine"]
         self.gt_camera = cfg["tracking"]["gt_camera"]
+        # strict: map frame k*every right after tracking it (the reference
+        # schedule, SURVEY §3.5).  loose/free: the reference lets the mapper
+        # lag the tracker by up to every_frame*3/2 (Tracker.py:168-175);
+        # here that becomes a DETERMINISTIC lag of every_frame//2 frames —
+        # same staleness, reproducible schedule.
+        sync = cfg.get("sync_method", "strict")
+        self.map_lag = (self.every_frame // 2
+                        if sync in ("loose", "free") else 0)
+        self._frame_cache = {}
 
         key = jax.random.PRNGKey(cfg["tpu"]["seed"])
         key, kstate = jax.random.split(key)
@@ -144,19 +150,15 @@ class SlamEngine:
             return
 
         pre = jnp.asarray(self.est_c2w[idx - 1])
-        if s.track.const_speed and idx >= 2:
-            prepre = jnp.asarray(self.est_c2w[idx - 2])
-            init_c2w = const_speed_init(pre, prepre)
-        else:
-            init_c2w = pre
-        cam0 = tensor_from_cam(init_c2w)
+        use_cs = bool(s.track.const_speed and idx >= 2)
+        prepre = jnp.asarray(self.est_c2w[idx - 2] if use_cs
+                             else self.est_c2w[idx - 1])
 
         t0 = time.perf_counter()
-        best_cam, first_loss, last_loss, best_loss = track_frame(
+        c2w, first_loss, last_loss, best_loss = track_frame_full(
             self.map_state.params, self.map_state.grids, self.bound,
-            cam0, color, depth, self._next_key(),
-            s.camera, s.track, s.render, s.model)
-        c2w = to_homogeneous(cam_from_tensor(best_cam))
+            pre, prepre, color, depth, self._next_key(),
+            s.camera, s.track, s.render, s.model, use_cs)
         c2w_np = np.asarray(jax.device_get(c2w))
         self.timings["track"] += time.perf_counter() - t0
 
@@ -167,43 +169,14 @@ class SlamEngine:
 
     # -- mapping -----------------------------------------------------------
 
-    def _select_window(self, mapspec, color, depth, cur_c2w):
-        cam = self.specs.camera
-        k = mapspec.window_size - 2
-        if mapspec.keyframe_selection == "overlap":
-            slots, valid = select_keyframes_overlap(
-                self._next_key(), self.store, color, depth,
-                jnp.asarray(cur_c2w), cam, k)
-        else:
-            slots, valid = select_keyframes_global(
-                self._next_key(), self.store, k)
-        return build_window(self.store, slots, valid, color, depth,
-                            jnp.asarray(cur_c2w))
-
     def map_once(self, idx: int, color, depth, cur_c2w, mapspec,
                  num_joint_iters: int, lr_factor: float, ba: bool,
                  coarse: bool = False):
         s = self.specs
-        window = self._select_window(mapspec, color, depth, cur_c2w)
-
-        masks = grid_masks(self.map_state.grids, self.bound,
-                           jnp.asarray(cur_c2w), depth, s.camera,
-                           mapspec.frustum_selection and mapspec.nice,
-                           s.model.coarse_bound_enlarge)
-
-        cams0 = tensor_from_cam(window["c2ws"][:, :3, :])
-        wn = int(window["valid"].shape[0])
-        if ba:
-            slots = window["slots"]
-            valid = np.asarray(window["valid"])
-            slot_np = np.asarray(slots).astype(np.int64)
-            slot_for_min = np.where(valid[:-1], slot_np[:-1], np.iinfo(np.int64).max)
-            oldest_pos = int(np.argmin(slot_for_min))
-            cam_lr_mask = valid.astype(np.float32)
-            cam_lr_mask[oldest_pos] = 0.0
-        else:
-            cam_lr_mask = np.zeros((wn,), np.float32)
-        cam_lr_mask = jnp.asarray(cam_lr_mask)
+        window, masks, cams0, cam_lr_mask = prepare_mapping(
+            self._next_key(), self.store, color, depth,
+            jnp.asarray(cur_c2w), self.map_state.grids, self.bound,
+            s.camera, mapspec, ba, s.model.coarse_bound_enlarge)
 
         it = mapspec.stage_iters(num_joint_iters)
         stage_iters = tuple((st, it[st])
@@ -291,6 +264,16 @@ class SlamEngine:
 
     # -- main loop ---------------------------------------------------------
 
+    def enable_visualizer(self):
+        """Attach the residual-panel visualizer using the config's
+        tracking vis_freq (reference src/utils/Visualizer.py usage)."""
+        from nice_slam_tpu.utils.visualizer import make_engine_vis_hook
+
+        freq = self.cfg["tracking"].get("vis_freq", 50)
+        self.vis_hook = make_engine_vis_hook(
+            os.path.join(self.output, "tracking_vis"), freq)
+        return self
+
     def run(self, n_frames: Optional[int] = None, progress: bool = False):
         n = min(n_frames or self.n_img, self.n_img)
         it = range(n)
@@ -302,14 +285,25 @@ class SlamEngine:
                 pass
         for idx in it:
             color, depth, gt_pose = self._load_frame(idx)
+            if self.map_lag > 0:
+                self._frame_cache[idx] = (color, depth, gt_pose)
+                for old in [k for k in self._frame_cache
+                            if k < idx - self.map_lag - 1]:
+                    del self._frame_cache[old]
             if idx == 0:
                 self.gt_c2w[0] = gt_pose
                 self.est_c2w[0] = gt_pose
                 self.mapping_event(0, color, depth, gt_pose, first=True)
                 continue
             self.track(idx, color, depth, gt_pose)
-            if idx % self.every_frame == 0 or idx == n - 1:
+            midx = idx - self.map_lag
+            if idx == n - 1:
+                # final frame always maps itself (color refine, final mesh)
                 self.mapping_event(idx, color, depth, gt_pose)
+            elif midx > 0 and midx % self.every_frame == 0:
+                mc, md, mg = (self._frame_cache[midx] if self.map_lag > 0
+                              else (color, depth, gt_pose))
+                self.mapping_event(midx, mc, md, mg)
             if self.vis_hook is not None:
                 self.vis_hook(self, idx, color, depth)
             self.frames_done = idx + 1

@@ -165,6 +165,45 @@ def grid_masks(grids, bound, c2w, depth, camera: Camera, enabled: bool,
     return masks
 
 
+@partial(jax.jit, static_argnames=("camera", "mapspec", "ba",
+                                   "coarse_bound_enlarge"))
+def prepare_mapping(key, store, color, depth, cur_c2w, grids, bound,
+                    camera: Camera, mapspec: MapSpec, ba: bool,
+                    coarse_bound_enlarge: int = 2):
+    """All pre-optimization glue in ONE dispatch: keyframe selection,
+    window assembly, frustum masks, camera tensors and the BA
+    learning-rate mask (oldest + invalid slots frozen,
+    Mapper.py:267-272, 346-363)."""
+    from nice_slam_tpu.keyframes import (
+        build_window, select_keyframes_global, select_keyframes_overlap)
+    from nice_slam_tpu.ops import tensor_from_cam
+
+    ksel, key = jax.random.split(key)
+    k = mapspec.window_size - 2
+    if mapspec.keyframe_selection == "overlap":
+        slots, valid = select_keyframes_overlap(
+            ksel, store, color, depth, cur_c2w, camera, k)
+    else:
+        slots, valid = select_keyframes_global(ksel, store, k)
+    window = build_window(store, slots, valid, color, depth, cur_c2w)
+
+    masks = grid_masks(grids, bound, cur_c2w, depth, camera,
+                       mapspec.frustum_selection and mapspec.nice,
+                       coarse_bound_enlarge)
+    cams0 = tensor_from_cam(window["c2ws"][:, :3, :])
+
+    wn = window["valid"].shape[0]
+    if ba:
+        sl = window["slots"][:-1]
+        va = window["valid"][:-1]
+        oldest_pos = jnp.argmin(jnp.where(va, sl, jnp.iinfo(jnp.int32).max))
+        cam_lr_mask = window["valid"].astype(jnp.float32)
+        cam_lr_mask = cam_lr_mask.at[oldest_pos].set(0.0)
+    else:
+        cam_lr_mask = jnp.zeros((wn,), jnp.float32)
+    return window, masks, cams0, cam_lr_mask
+
+
 # ---------------------------------------------------------------------------
 # Loss
 

@@ -135,3 +135,27 @@ def const_speed_init(pre_c2w, pre_pre_c2w):
     pre (Tracker.py:192-198).  Inputs/outputs are 4x4."""
     delta = pre_c2w @ jnp.linalg.inv(pre_pre_c2w)
     return delta @ pre_c2w
+
+
+@partial(jax.jit, static_argnames=("camera", "tspec", "rspec", "mspec",
+                                   "use_const_speed"))
+def track_frame_full(params, grids, bound, pre_c2w, pre_pre_c2w,
+                     gt_color, gt_depth, key, camera: Camera,
+                     tspec: TrackSpec, rspec: RenderSpec, mspec: ModelSpec,
+                     use_const_speed: bool):
+    """One dispatch per tracked frame: motion-model init + pose
+    optimization + matrix conversion all inside one jit (the per-op
+    dispatch overhead of doing SE(3) glue eagerly costs more than the
+    whole optimization on fast accelerators)."""
+    from nice_slam_tpu.ops import tensor_from_cam, to_homogeneous
+
+    if use_const_speed:
+        init_c2w = const_speed_init(pre_c2w, pre_pre_c2w)
+    else:
+        init_c2w = pre_c2w
+    cam0 = tensor_from_cam(init_c2w)
+    best_cam, first_loss, last_loss, best_loss = track_frame(
+        params, grids, bound, cam0, gt_color, gt_depth, key, camera,
+        tspec, rspec, mspec)
+    c2w = to_homogeneous(cam_from_tensor(best_cam))
+    return c2w, first_loss, last_loss, best_loss

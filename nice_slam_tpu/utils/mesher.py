@@ -253,3 +253,24 @@ def engine_mesher_hook(engine, idx: int, final: bool):
         engine.specs.camera, spec,
         kf_c2w=engine.store.est_c2w, kf_depth=engine.store.depths,
         n_keyframes=int(engine.store.count), out_path=out)
+    if final and cfg["meshing"].get("eval_rec"):
+        # evaluation mesh: visibility from ALL tracked frames
+        # (reference Mapper.py:649-653, get_mask_use_all_frames=True).
+        # Only keyframes have stored depths, so the all-frames mask is
+        # frustum-only (depth_test off); placeholder 1x1 depths keep the
+        # vmapped projection happy without materializing n*H*W.
+        from dataclasses import replace as dc_replace
+
+        import numpy as np
+
+        n = engine.frames_done
+        all_c2w = engine.est_c2w[:n]
+        dummy_depth = np.zeros((n, 1, 1), np.float32)
+        out2 = os.path.join(engine.output, "mesh", "final_mesh_eval_rec.ply")
+        extract_mesh(
+            engine.map_state.params, engine.specs.model,
+            engine.map_state.grids, engine.bound,
+            cfg["mapping"]["marching_cubes_bound"], engine.specs.camera,
+            dc_replace(spec, depth_test=False),
+            kf_c2w=all_c2w, kf_depth=dummy_depth, n_keyframes=n,
+            out_path=out2)

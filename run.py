@@ -34,6 +34,8 @@ def main():
                     help="checkpoint to resume from")
     ap.add_argument("--no-mesh", action="store_true",
                     help="skip mesh extraction")
+    ap.add_argument("--vis", action="store_true",
+                    help="save GT/rendered/residual panels during tracking")
     args = ap.parse_args()
 
     from nice_slam_tpu.config import load_config
@@ -68,6 +70,8 @@ def main():
             pass
 
     eng = SlamEngine(cfg, mesher_hook=mesher_hook)
+    if args.vis:
+        eng.enable_visualizer()
     if args.resume:
         eng.resume(args.resume)
     eng.run(n_frames=args.frames, progress=True)

@@ -128,3 +128,27 @@ class TestGtCameraMode:
         eng = SlamEngine(cfg, output="/tmp/nice_slam_tpu_test3")
         eng.run()
         np.testing.assert_allclose(eng.est_c2w[:5], eng.gt_c2w[:5])
+
+
+class TestImapMode:
+    def test_imap_end_to_end(self):
+        """iMAP* mode: single density MLP + importance sampling +
+        free-space regulation, run through the same engine."""
+        from nice_slam_tpu.config import load_config
+
+        cfg = load_config(nice=False, overrides={
+            **TEST_CFG,
+            "scale": 1.0,
+            "synthetic": {"n_frames": 5},
+            "mapping": {**TEST_CFG["mapping"], "iters_first": 60,
+                        "iters": 15, "pixels": 300},
+            "tracking": {**TEST_CFG["tracking"], "iters": 5, "pixels": 120},
+            "rendering": {"N_samples": 16, "N_surface": 0,
+                          "N_importance": 8},
+        })
+        eng = SlamEngine(cfg, output="/tmp/nice_slam_tpu_imap")
+        eng.run()
+        assert eng.frames_done == 5
+        assert np.isfinite(eng.est_c2w[:5]).all()
+        stats = eng.ate()
+        assert stats["rmse"] < 0.5, stats
