@@ -27,6 +27,11 @@ import time
 from dataclasses import replace
 from typing import Callable, Optional
 
+# NICE_SLAM_TPU_PROFILE=1: force a device fetch after every engine substep
+# and accumulate fine-grained timings (async backends make section timers
+# lie otherwise; see bench.py)
+_PROFILE = os.environ.get("NICE_SLAM_TPU_PROFILE", "") == "1"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,7 +44,7 @@ from nice_slam_tpu.keyframes import (
     update_poses,
 )
 from nice_slam_tpu.mapping import map_optimize, prepare_mapping
-from nice_slam_tpu.ops import cam_from_tensor, tensor_from_cam, to_homogeneous
+from nice_slam_tpu.ops import cam_from_tensor, to_homogeneous
 from nice_slam_tpu.state import make_map_state
 from nice_slam_tpu.tracking import track_frame_full
 from nice_slam_tpu.utils.checkpoint import save_checkpoint
@@ -99,7 +104,8 @@ class SlamEngine:
         self.tracking_stats: list = []
         self.frames_done = 0
         self.timings = {"track": 0.0, "map": 0.0, "coarse_map": 0.0,
-                        "io": 0.0}
+                        "io": 0.0, "prepare": 0.0, "kf_add": 0.0,
+                        "pose_wb": 0.0}
 
     def _load_pretrained_decoders(self):
         """Load frozen decoder weights: this repo's npz if present, else
@@ -128,6 +134,14 @@ class SlamEngine:
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
         return k
+
+    def _sync(self, tree, name: str, t0: float):
+        """Profiling helper: force completion of `tree` and book the time."""
+        if _PROFILE:
+            leaves = jax.tree.leaves(tree)
+            if leaves:
+                np.asarray(jax.device_get(jax.tree.leaves(tree)[0]))
+            self.timings[name] += time.perf_counter() - t0
 
     @property
     def bound(self):
@@ -173,10 +187,12 @@ class SlamEngine:
                  num_joint_iters: int, lr_factor: float, ba: bool,
                  coarse: bool = False):
         s = self.specs
+        tp = time.perf_counter()
         window, masks, cams0, cam_lr_mask = prepare_mapping(
             self._next_key(), self.store, color, depth,
             jnp.asarray(cur_c2w), self.map_state.grids, self.bound,
             s.camera, mapspec, ba, s.model.coarse_bound_enlarge)
+        self._sync(cam_lr_mask, "prepare", tp)
 
         it = mapspec.stage_iters(num_joint_iters)
         stage_iters = tuple((st, it[st])
@@ -189,7 +205,10 @@ class SlamEngine:
             window, cams0, masks, cam_lr_mask,
             jnp.asarray(lr_factor, jnp.float32), self._next_key(),
             s.camera, stage_iters, mapspec, s.render, s.model)
-        jax.block_until_ready(losses)
+        if _PROFILE:
+            np.asarray(jax.device_get(losses[-1]))
+        else:
+            jax.block_until_ready(losses)
         self.timings["coarse_map" if coarse else "map"] += \
             time.perf_counter() - t0
 
@@ -197,6 +216,7 @@ class SlamEngine:
         self.map_state.grids = grids
 
         if ba:
+            tw = time.perf_counter()
             new_c2w = to_homogeneous(cam_from_tensor(cams))
             kf_mask = (window["valid"]
                        & (window["slots"] >= 0)
@@ -204,6 +224,8 @@ class SlamEngine:
             self.store = update_poses(
                 self.store, jnp.maximum(window["slots"], 0), new_c2w, kf_mask)
             cur = np.asarray(jax.device_get(new_c2w[-1]))
+            if _PROFILE:
+                self.timings["pose_wb"] += time.perf_counter() - tw
             return cur, losses
         return None, losses
 
@@ -242,9 +264,11 @@ class SlamEngine:
         if (idx % self.keyframe_every == 0 or idx >= self.n_img - 2) \
                 and idx not in self.kf_frame_ids \
                 and len(self.kf_frame_ids) < self.store.capacity:
+            tk = time.perf_counter()
             self.store = add_keyframe(
                 self.store, color, depth, jnp.asarray(cur_c2w),
                 jnp.asarray(gt_pose), idx)
+            self._sync(self.store.count, "kf_add", tk)
             self.kf_frame_ids.append(idx)
 
         # coarse mapper (independent; coarse grid only)

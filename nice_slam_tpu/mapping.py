@@ -20,7 +20,7 @@ jitted:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Tuple
 
@@ -266,9 +266,13 @@ def mapping_loss(tree, window, bound, key, camera: Camera, stage: str,
 # ---------------------------------------------------------------------------
 # LR trees
 
-def _decoder_lr_tree(params, mapspec: MapSpec, dec_lr: float):
+def _decoder_lr_tree(params, mapspec: MapSpec, dec_lr: float,
+                     dec_lr_static: float):
     """Per-leaf LR for decoder params: only fine (unless fixed) and color
-    (unless fixed) decoders train in NICE mode (Mapper.py:335-344)."""
+    (unless fixed) decoders train in NICE mode (Mapper.py:335-344).
+
+    Also returns a STATIC frozen tree (python bools) so XLA can prune the
+    backward + Adam update of decoders whose LR is structurally zero."""
     def lr_for(name):
         if not mapspec.nice:
             return mapspec.imap_decoders_lr
@@ -280,27 +284,62 @@ def _decoder_lr_tree(params, mapspec: MapSpec, dec_lr: float):
             return dec_lr if mapspec.train_middle else 0.0
         return 0.0
 
-    return {name: jax.tree.map(lambda _: lr_for(name), sub)
-            for name, sub in params.items()}
+    def frozen_for(name):
+        if not mapspec.nice:
+            return False
+        if name == "fine":
+            return mapspec.fix_fine or dec_lr_static == 0.0
+        if name == "color":
+            return mapspec.fix_color or dec_lr_static == 0.0
+        if name == "middle":
+            return (not mapspec.train_middle) or dec_lr_static == 0.0
+        return True
+
+    lr = {name: jax.tree.map(lambda _: lr_for(name), sub)
+          for name, sub in params.items()}
+    frozen = {name: jax.tree.map(lambda _: frozen_for(name), sub)
+              for name, sub in params.items()}
+    return lr, frozen
 
 
-def _lr_tree(tree, stage: str, mapspec: MapSpec, lr_factor, cam_lr_mask):
+def _lr_tree(tree, stage: str, mapspec: MapSpec, lr_factor, cam_lr_mask,
+             ba: bool = True):
+    """Returns (lr pytree, STATIC frozen pytree).  Frozen-ness is decided
+    from the static stage table (lr_factor is always > 0), so zero-lr
+    leaves are structurally excluded from backward + Adam."""
     table = mapspec.stage_lr_table()[stage] if mapspec.nice else None
     if mapspec.nice:
         grid_lrs = {"coarse": table.coarse, "middle": table.middle,
                     "fine": table.fine, "color": table.color}
         grids_lr = {n: jax.tree.map(lambda _: grid_lrs[n] * lr_factor, g)
                     for n, g in tree["grids"].items()}
-        dec_lr_tree = _decoder_lr_tree(tree["params"], mapspec,
-                                       table.decoders * lr_factor)
-        cam_lr = (mapspec.ba_cam_lr * cam_lr_mask if stage == "color"
+        grids_frozen = {n: jax.tree.map(lambda _: grid_lrs[n] == 0.0, g)
+                        for n, g in tree["grids"].items()}
+        dec_lr_tree, dec_frozen = _decoder_lr_tree(
+            tree["params"], mapspec, table.decoders * lr_factor,
+            table.decoders)
+        cams_active = ba and stage == "color"
+        cam_lr = (mapspec.ba_cam_lr * cam_lr_mask if cams_active
                   else jnp.zeros_like(cam_lr_mask))
     else:
         grids_lr = {}
-        dec_lr_tree = _decoder_lr_tree(tree["params"], mapspec, 0.0)
+        grids_frozen = {}
+        dec_lr_tree, dec_frozen = _decoder_lr_tree(tree["params"], mapspec,
+                                                   0.0, 1.0)
+        cams_active = ba
         cam_lr = mapspec.ba_cam_lr * cam_lr_mask
-    return {"params": dec_lr_tree, "grids": grids_lr,
-            "cams": cam_lr[:, None] * jnp.ones((1, 7))}
+    lr = {"params": dec_lr_tree, "grids": grids_lr,
+          "cams": cam_lr[:, None] * jnp.ones((1, 7))}
+    frozen = {"params": dec_frozen, "grids": grids_frozen,
+              "cams": not cams_active}
+    return lr, frozen
+
+
+def _stop_frozen(tree, frozen):
+    """stop_gradient on structurally frozen leaves: prunes their whole
+    backward from the XLA graph."""
+    return jax.tree.map(
+        lambda x, f: jax.lax.stop_gradient(x) if f else x, tree, frozen)
 
 
 # ---------------------------------------------------------------------------
@@ -321,18 +360,27 @@ def map_optimize(params, grids, bound, window, cams0, masks, cam_lr_mask,
     Returns (params, grids, cams, losses)."""
     tree = {"params": params, "grids": grids, "cams": cams0}
     opt = adam_init(tree)
-    loss_grad = jax.value_and_grad(mapping_loss)
 
     all_losses = []
     for stage, n_iters in stage_iters:
         if n_iters == 0:
             continue
-        lr_tree = _lr_tree(tree, stage, mapspec, lr_factor, cam_lr_mask)
+        # cams stay structurally live (their backward is tiny and BA-ness
+        # is carried by the traced cam_lr_mask)
+        lr_tree, frozen = _lr_tree(tree, stage, mapspec, lr_factor,
+                                   cam_lr_mask, ba=True)
 
-        def step(carry, k, _stage=stage, _lr=lr_tree):
+        def frozen_loss(tr, k, _stage=stage, _frozen=frozen):
+            # stop_gradient INSIDE the differentiated function: frozen
+            # leaves get zero cotangents and XLA prunes their backward
+            return mapping_loss(_stop_frozen(tr, _frozen), window, bound,
+                                k, camera, _stage, mapspec, rspec, mspec)
+
+        def step(carry, k, _stage=stage, _lr=lr_tree, _frozen=frozen,
+                 _floss=None):
             tr, op = carry
-            loss, g = loss_grad(tr, window, bound, k, camera, _stage,
-                                mapspec, rspec, mspec)
+            loss, g = jax.value_and_grad(
+                lambda t: frozen_loss(t, k, _stage, _frozen))(tr)
             g = dict(g)
             g["grids"] = {n: gg * masks[n] for n, gg in g["grids"].items()}
             if mapspec.grad_clip > 0.0:
@@ -346,7 +394,7 @@ def map_optimize(params, grids, bound, window, cams0, masks, cam_lr_mask,
                 _lr = dict(_lr)
                 _lr["params"] = jax.tree.map(lambda l: l * scale,
                                              _lr["params"])
-            tr, op = adam_update(tr, g, op, _lr)
+            tr, op = adam_update(tr, g, op, _lr, frozen=_frozen)
             return (tr, op), loss
 
         key, ks = jax.random.split(key)

@@ -23,7 +23,7 @@ GEMMs; everything is static-shaped and fuses under jit.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Tuple
 
 import jax

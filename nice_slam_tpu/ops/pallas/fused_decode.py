@@ -30,7 +30,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:
     from jax.experimental import pallas as pl
@@ -159,8 +158,9 @@ def _mlp_backward(dout, p, c, B, W, b, V, a, Wo, bo):
     de = de + dx  # x_0 = e
 
     dpre = de * jnp.cos(pb)
-    dp = _mm(dpre, B.T)
-    dB = _mm(p.T, dpre)
+    # B entries are O(25): full precision here, like the forward embedding
+    dp = _mm_hi(dpre, B.T)
+    dB = _mm_hi(p.T, dpre)
     return dp, dc, [dB] + dW + db + dV + da + [dWo, dbo]
 
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from nice_slam_tpu.camera import Camera
-from nice_slam_tpu.mapping import MapSpec, _lr_tree, mapping_loss
+from nice_slam_tpu.mapping import MapSpec, _lr_tree, _stop_frozen, mapping_loss
 from nice_slam_tpu.models.decoders import ModelSpec
 from nice_slam_tpu.ops import adam_init, adam_update
 from nice_slam_tpu.render import RenderSpec
@@ -48,15 +48,16 @@ def dp_map_optimize(params, grids, bound, window, cams0, masks, cam_lr_mask,
     n_dev = mesh.devices.size
     axis = mesh.axis_names[0]
 
-    def sharded_loss_grad(tree, window_, bound_, keys, stage):
+    def sharded_loss_grad(tree, window_, bound_, keys, stage, frozen):
         """Each device evaluates the loss on its own ray shard (its own
         PRNG key); loss and grads are psummed so every replica applies the
         identical update."""
 
         def per_device(tree_, win_, b_, keys_shard):
-            loss, g = jax.value_and_grad(mapping_loss)(
-                tree_, win_, b_, keys_shard[0], camera, stage,
-                mapspec, rspec, mspec)
+            loss, g = jax.value_and_grad(
+                lambda t: mapping_loss(_stop_frozen(t, frozen), win_, b_,
+                                       keys_shard[0], camera, stage,
+                                       mapspec, rspec, mspec))(tree_)
             loss = jax.lax.psum(loss, axis)
             g = jax.tree.map(lambda x: jax.lax.psum(x, axis), g)
             return loss, g
@@ -78,15 +79,17 @@ def dp_map_optimize(params, grids, bound, window, cams0, masks, cam_lr_mask,
         for stage, n_iters in stage_iters:
             if n_iters == 0:
                 continue
-            lr_tree = _lr_tree(tree, stage, mapspec, lr_factor, cam_lr_mask)
+            lr_tree, frozen = _lr_tree(tree, stage, mapspec, lr_factor,
+                                       cam_lr_mask)
 
-            def step(carry, ks, _stage=stage, _lr=lr_tree):
+            def step(carry, ks, _stage=stage, _lr=lr_tree, _frozen=frozen):
                 tr, op = carry
-                loss, g = sharded_loss_grad(tr, window, bound, ks, _stage)
+                loss, g = sharded_loss_grad(tr, window, bound, ks, _stage,
+                                            _frozen)
                 g = dict(g)
                 g["grids"] = {n: gg * masks[n]
                               for n, gg in g["grids"].items()}
-                tr, op = adam_update(tr, g, op, _lr)
+                tr, op = adam_update(tr, g, op, _lr, frozen=_frozen)
                 return (tr, op), loss
 
             nonlocal_key, ks = jax.random.split(nonlocal_key)

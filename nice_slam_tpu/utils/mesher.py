@@ -46,6 +46,10 @@ class MeshSpec:
     mesh_bound_scale: float = 1.02
     points_chunk: int = 65536
     color: bool = True
+    # 'show_forecast' / mesh_coarse_level: unseen-but-in-hull space gets
+    # occupancy from the coarse (scene completion) level + 0.2 and is
+    # painted cyan (reference Mesher.py:386-418, 559-565)
+    forecast: bool = False
 
 
 @partial(jax.jit, static_argnames=("mspec", "stage", "chunk"))
@@ -173,16 +177,34 @@ def extract_mesh(params, mspec: ModelSpec, grids, bound, mc_bound,
     occ = np.asarray(raw[:, 3])
 
     seen = None
+    forecast_mask = None
     if kf_c2w is not None and n_keyframes > 0:
         valid = np.zeros(len(kf_c2w), bool)
         valid[:n_keyframes] = True
         seen = np.asarray(_seen_mask_chunked(
             jnp.asarray(pts), jnp.asarray(kf_c2w), jnp.asarray(kf_depth),
             jnp.asarray(valid), camera, spec.points_chunk, spec.depth_test))
-        # unseen space is forced solid so no spurious surface appears there;
-        # faces there are culled below (reference occ=-100/100 trick,
-        # Mesher.py:404-433 — sign flipped to match occupancy polarity)
-        occ = np.where(seen, occ, 100.0)
+        if spec.forecast and mspec.nice and mspec.coarse:
+            # scene completion: unseen-but-inside-hull points take the
+            # coarse level's occupancy + 0.2 (reference Mesher.py:386-418)
+            hull_pts = _hull_mask(pts, np.asarray(kf_c2w)[:n_keyframes],
+                                  np.asarray(kf_depth)[:n_keyframes],
+                                  camera, spec.mesh_bound_scale)
+            if hull_pts is None:
+                hull_pts = np.zeros(len(pts), bool)
+            forecast_mask = (~seen) & hull_pts
+            coarse_raw = _eval_volume_chunked(
+                params, mspec, grids, bound, jnp.asarray(pts), "coarse",
+                spec.points_chunk)
+            coarse_occ = np.asarray(coarse_raw[:, 3])
+            occ = np.where(forecast_mask, coarse_occ + 0.2, occ)
+            occ = np.where(seen | forecast_mask, occ, 100.0)
+        else:
+            # unseen space is forced solid so no spurious surface appears
+            # there; faces there are culled below (reference occ=-100/100
+            # trick, Mesher.py:404-433 — sign flipped for occupancy
+            # polarity)
+            occ = np.where(seen, occ, 100.0)
 
     vol = occ.reshape(res, res, res)
     origin = np.array([axes[0][0], axes[1][0], axes[2][0]])
@@ -193,6 +215,7 @@ def extract_mesh(params, mspec: ModelSpec, grids, bound, mc_bound,
     from nice_slam_tpu.native import marching_tetrahedra
     verts, tris = marching_tetrahedra(vol, spec.level_set, origin, spacing)
 
+    vseen = None
     if spec.clean_mesh and len(verts) and kf_c2w is not None \
             and n_keyframes > 0:
         valid = np.zeros(len(kf_c2w), bool)
@@ -203,7 +226,12 @@ def extract_mesh(params, mspec: ModelSpec, grids, bound, mc_bound,
         hull = _hull_mask(verts, np.asarray(kf_c2w)[:n_keyframes],
                           np.asarray(kf_depth)[:n_keyframes], camera,
                           spec.mesh_bound_scale)
-        vkeep = vseen if hull is None else (vseen & hull)
+        if spec.forecast and hull is not None:
+            vkeep = hull  # forecast keeps completed regions inside hull
+        elif hull is not None:
+            vkeep = vseen & hull
+        else:
+            vkeep = vseen
         fkeep = vkeep[tris].all(axis=1)
         tris = tris[fkeep]
         tris = _component_filter(verts, tris, spec.get_largest_components,
@@ -221,6 +249,9 @@ def extract_mesh(params, mspec: ModelSpec, grids, bound, mc_bound,
                                      spec.points_chunk)
         colors = np.clip(np.asarray(raw_c[:, :3]), 0, 1)
         colors = (colors * 255 + 0.5).astype(np.uint8)
+        if spec.forecast and vseen is not None:
+            # forecast vertices painted cyan (reference Mesher.py:559-565)
+            colors[~vseen] = np.array([0, 255, 255], np.uint8)
 
     if out_path is not None and len(verts):
         import os
@@ -238,6 +269,7 @@ def engine_mesher_hook(engine, idx: int, final: bool):
     spec = MeshSpec(
         resolution=cfg["meshing"]["resolution"],
         level_set=cfg["meshing"]["level_set"],
+        forecast=cfg["meshing"].get("mesh_coarse_level", False),
         clean_mesh=cfg["meshing"]["clean_mesh"],
         depth_test=cfg["meshing"]["depth_test"],
         get_largest_components=cfg["meshing"]["get_largest_components"],

@@ -12,7 +12,7 @@ snippet): a small, fast, CPU-renderable end-to-end fixture.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np
