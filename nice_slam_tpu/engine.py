@@ -39,14 +39,12 @@ import numpy as np
 from nice_slam_tpu.config import SlamSpecs, specs_from_config
 from nice_slam_tpu.keyframes import (
     KeyframeStore,
-    add_keyframe,
+    add_keyframe_from,
     make_store,
-    update_poses,
 )
-from nice_slam_tpu.mapping import map_optimize, prepare_mapping
-from nice_slam_tpu.ops import cam_from_tensor, to_homogeneous
+from nice_slam_tpu.mapping import mapping_step
 from nice_slam_tpu.state import make_map_state
-from nice_slam_tpu.tracking import track_frame_full
+from nice_slam_tpu.tracking import track_frame_step
 from nice_slam_tpu.utils.checkpoint import save_checkpoint
 from nice_slam_tpu.utils.datasets import get_dataset
 
@@ -87,7 +85,12 @@ class SlamEngine:
 
         key = jax.random.PRNGKey(cfg["tpu"]["seed"])
         key, kstate = jax.random.split(key)
+        # RNG discipline: jitted steps receive (key_base, step_no) and
+        # fold_in INSIDE the jit — an eager jax.random.split per step would
+        # cost a full RPC round trip on remote-attached TPUs
         self.key = key
+        self._key_base = jax.random.fold_in(key, 0xB0B)
+        self._step_no = 0
         self.map_state = make_map_state(
             kstate, self.specs.model, m["bound"], cfg["grid_len"],
             cfg["grid_len"]["bound_divisible"])
@@ -99,9 +102,13 @@ class SlamEngine:
         self.store: KeyframeStore = make_store(cap, cam.H, cam.W)
         self.kf_frame_ids: list = []
 
-        self.est_c2w = np.zeros((self.n_img, 4, 4), np.float32)
+        # the estimated trajectory lives ON DEVICE: tracking reads previous
+        # poses and writes the new one inside the jitted step, so the
+        # steady-state loop runs with zero host<->device synchronizations
+        # (each sync costs a full round trip on remote-attached chips)
+        self._est_dev = jnp.zeros((self.n_img, 4, 4), jnp.float32)
         self.gt_c2w = np.zeros((self.n_img, 4, 4), np.float32)
-        self.tracking_stats: list = []
+        self.tracking_stats: list = []  # device scalars; see stats()
         self.frames_done = 0
         self.timings = {"track": 0.0, "map": 0.0, "coarse_map": 0.0,
                         "io": 0.0, "prepare": 0.0, "kf_add": 0.0,
@@ -135,6 +142,14 @@ class SlamEngine:
         self.key, k = jax.random.split(self.key)
         return k
 
+    def _next_step(self) -> int:
+        """Host-side step counter for in-jit RNG derivation (no device op)."""
+        self._step_no += 1
+        return self._step_no
+
+    _set_pose = staticmethod(jax.jit(
+        lambda buf, i, pose: buf.at[i].set(pose), donate_argnums=(0,)))
+
     def _sync(self, tree, name: str, t0: float):
         """Profiling helper: force completion of `tree` and book the time."""
         if _PROFILE:
@@ -146,6 +161,27 @@ class SlamEngine:
     @property
     def bound(self):
         return self.map_state.bound
+
+    @property
+    def est_c2w(self) -> np.ndarray:
+        """Host view of the device-resident trajectory (forces a sync)."""
+        return np.asarray(jax.device_get(self._est_dev))
+
+    @est_c2w.setter
+    def est_c2w(self, value):
+        self._est_dev = jnp.asarray(value, jnp.float32)
+
+    def stats(self) -> list:
+        """tracking_stats with device scalars materialized (one sync)."""
+        if self.tracking_stats:
+            vals = np.asarray(jax.device_get(
+                [[s["first_loss"], s["last_loss"], s["best_loss"]]
+                 for s in self.tracking_stats]))
+            self.tracking_stats = [
+                {"idx": s["idx"], "first_loss": float(v[0]),
+                 "last_loss": float(v[1]), "best_loss": float(v[2])}
+                for s, v in zip(self.tracking_stats, vals)]
+        return self.tracking_stats
 
     def _load_frame(self, idx: int):
         t0 = time.perf_counter()
@@ -160,80 +196,55 @@ class SlamEngine:
         s = self.specs
         self.gt_c2w[idx] = gt_pose
         if idx == 0 or self.gt_camera:
-            self.est_c2w[idx] = gt_pose
+            self._est_dev = self._set_pose(self._est_dev, idx, gt_pose)
             return
 
-        pre = jnp.asarray(self.est_c2w[idx - 1])
-        use_cs = bool(s.track.const_speed and idx >= 2)
-        prepre = jnp.asarray(self.est_c2w[idx - 2] if use_cs
-                             else self.est_c2w[idx - 1])
-
         t0 = time.perf_counter()
-        c2w, first_loss, last_loss, best_loss = track_frame_full(
+        self._est_dev, first_loss, last_loss, best_loss = track_frame_step(
             self.map_state.params, self.map_state.grids, self.bound,
-            pre, prepre, color, depth, self._next_key(),
-            s.camera, s.track, s.render, s.model, use_cs)
-        c2w_np = np.asarray(jax.device_get(c2w))
-        self.timings["track"] += time.perf_counter() - t0
+            self._est_dev, idx, color, depth, self._key_base,
+            self._next_step(), s.camera, s.track, s.render, s.model)
+        self._sync(self._est_dev, "track", t0)
+        if not _PROFILE:
+            self.timings["track"] += time.perf_counter() - t0
 
-        self.est_c2w[idx] = c2w_np
+        # loss scalars stay on device; materialized lazily by stats()
         self.tracking_stats.append(
-            {"idx": idx, "first_loss": float(first_loss),
-             "last_loss": float(last_loss), "best_loss": float(best_loss)})
+            {"idx": idx, "first_loss": first_loss,
+             "last_loss": last_loss, "best_loss": best_loss})
 
     # -- mapping -----------------------------------------------------------
 
-    def map_once(self, idx: int, color, depth, cur_c2w, mapspec,
+    def map_once(self, idx: int, color, depth, mapspec,
                  num_joint_iters: int, lr_factor: float, ba: bool,
                  coarse: bool = False):
+        """One mapping optimization: keyframe selection, frustum masks,
+        staged optimization and BA pose write-back fused into a single
+        dispatch (mapping.mapping_step)."""
         s = self.specs
-        tp = time.perf_counter()
-        window, masks, cams0, cam_lr_mask = prepare_mapping(
-            self._next_key(), self.store, color, depth,
-            jnp.asarray(cur_c2w), self.map_state.grids, self.bound,
-            s.camera, mapspec, ba, s.model.coarse_bound_enlarge)
-        self._sync(cam_lr_mask, "prepare", tp)
-
         it = mapspec.stage_iters(num_joint_iters)
         stage_iters = tuple((st, it[st])
                             for st in ("coarse", "middle", "fine", "color")
                             if it[st] > 0)
 
         t0 = time.perf_counter()
-        params, grids, cams, losses = map_optimize(
+        (self.map_state.params, self.map_state.grids, self.store,
+         self._est_dev, losses) = mapping_step(
             self.map_state.params, self.map_state.grids, self.bound,
-            window, cams0, masks, cam_lr_mask,
-            jnp.asarray(lr_factor, jnp.float32), self._next_key(),
-            s.camera, stage_iters, mapspec, s.render, s.model)
+            self.store, self._est_dev, idx, color, depth,
+            float(lr_factor), self._key_base, self._next_step(),
+            s.camera, stage_iters, mapspec, s.render, s.model, ba,
+            s.model.coarse_bound_enlarge)
         if _PROFILE:
             np.asarray(jax.device_get(losses[-1]))
-        else:
-            jax.block_until_ready(losses)
         self.timings["coarse_map" if coarse else "map"] += \
             time.perf_counter() - t0
-
-        self.map_state.params = params
-        self.map_state.grids = grids
-
-        if ba:
-            tw = time.perf_counter()
-            new_c2w = to_homogeneous(cam_from_tensor(cams))
-            kf_mask = (window["valid"]
-                       & (window["slots"] >= 0)
-                       & (cam_lr_mask > 0))
-            self.store = update_poses(
-                self.store, jnp.maximum(window["slots"], 0), new_c2w, kf_mask)
-            cur = np.asarray(jax.device_get(new_c2w[-1]))
-            if _PROFILE:
-                self.timings["pose_wb"] += time.perf_counter() - tw
-            return cur, losses
-        return None, losses
+        return losses
 
     def mapping_event(self, idx: int, color, depth, gt_pose,
                       first: bool = False) -> None:
         """One mapping wake-up: fine mapper (+BA, keyframe insertion,
         checkpoint/mesh hooks) and the coarse mapper."""
-        cur_c2w = self.est_c2w[idx]
         final = idx == self.n_img - 1
         mapspec = self.specs.mapper
 
@@ -252,32 +263,35 @@ class SlamEngine:
             n_iters = max(self.iters // (1 if mapspec.nice else 3), 1)
             lr_f = self.lr_factor
 
+        losses = None
         for _ in range(outer):
             ba = (len(self.kf_frame_ids) > 4) and mapspec.ba
-            new_cur, _ = self.map_once(idx, color, depth, cur_c2w, mapspec,
-                                       n_iters, lr_f, ba)
-            if new_cur is not None:
-                cur_c2w = new_cur
-                self.est_c2w[idx] = new_cur
+            losses = self.map_once(idx, color, depth, mapspec,
+                                   n_iters, lr_f, ba)
 
         # keyframe insertion (Mapper.py:611-617)
         if (idx % self.keyframe_every == 0 or idx >= self.n_img - 2) \
                 and idx not in self.kf_frame_ids \
                 and len(self.kf_frame_ids) < self.store.capacity:
             tk = time.perf_counter()
-            self.store = add_keyframe(
-                self.store, color, depth, jnp.asarray(cur_c2w),
-                jnp.asarray(gt_pose), idx)
+            self.store = add_keyframe_from(
+                self.store, color, depth, self._est_dev, gt_pose, idx)
             self._sync(self.store.count, "kf_add", tk)
             self.kf_frame_ids.append(idx)
 
         # coarse mapper (independent; coarse grid only)
         if self.specs.coarse_mapper is not None:
-            self.map_once(idx, color, depth, cur_c2w,
+            self.map_once(idx, color, depth,
                           self.specs.coarse_mapper,
                           self.iters_first if first else self.iters,
                           self.lr_first_factor if first else self.lr_factor,
                           ba=False, coarse=True)
+        # bound the device queue: one SCALAR FETCH per mapping event keeps
+        # the remote dispatch pipeline healthy (deep async queues degrade
+        # throughput ~3x on tunneled chips, and block_until_ready is NOT a
+        # reliable sync through remote backends — only a data fetch is)
+        if losses is not None and not _PROFILE:
+            np.asarray(jax.device_get(losses))
 
         if (idx % self.ckpt_freq == 0 and idx > 0) or final:
             self.save(os.path.join(self.output, "ckpts",
@@ -316,7 +330,7 @@ class SlamEngine:
                     del self._frame_cache[old]
             if idx == 0:
                 self.gt_c2w[0] = gt_pose
-                self.est_c2w[0] = gt_pose
+                self._est_dev = self._set_pose(self._est_dev, 0, gt_pose)
                 self.mapping_event(0, color, depth, gt_pose, first=True)
                 continue
             self.track(idx, color, depth, gt_pose)

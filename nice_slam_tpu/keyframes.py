@@ -54,10 +54,12 @@ def make_store(capacity: int, H: int, W: int) -> KeyframeStore:
     )
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0,))
 def add_keyframe(store: KeyframeStore, color, depth, est_c2w, gt_c2w,
                  frame_idx) -> KeyframeStore:
-    """Append a keyframe (color float in [0,1] -> uint8)."""
+    """Append a keyframe (color float in [0,1] -> uint8).  The store is
+    donated: the insert is a true in-place dynamic_update_slice — without
+    donation every insert would copy the whole multi-GB ring."""
     i = store.count
     c8 = jnp.clip(color * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
     return KeyframeStore(
@@ -72,7 +74,16 @@ def add_keyframe(store: KeyframeStore, color, depth, est_c2w, gt_c2w,
     )
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0,))
+def add_keyframe_from(store: KeyframeStore, color, depth, est_buf,
+                      gt_c2w, frame_idx) -> KeyframeStore:
+    """add_keyframe with the estimated pose read out of the device-resident
+    trajectory buffer inside the jit (no eager slice on the host path)."""
+    return add_keyframe(store, color, depth, est_buf[frame_idx], gt_c2w,
+                        frame_idx)
+
+
+@partial(jax.jit, donate_argnums=(0,))
 def update_poses(store: KeyframeStore, slots, new_c2w, mask) -> KeyframeStore:
     """Write BA-refined poses back for `slots` where mask is True."""
     cur = store.est_c2w[slots]

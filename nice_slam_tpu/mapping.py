@@ -20,6 +20,7 @@ jitted:
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from functools import partial
 from typing import Tuple
@@ -370,11 +371,17 @@ def map_optimize(params, grids, bound, window, cams0, masks, cam_lr_mask,
         lr_tree, frozen = _lr_tree(tree, stage, mapspec, lr_factor,
                                    cam_lr_mask, ba=True)
 
-        def frozen_loss(tr, k, _stage=stage, _frozen=frozen):
+        # decoders only train in the color stage: prune their weight-grad
+        # accumulation from the fused kernel's backward elsewhere
+        rspec_stage = dataclasses.replace(
+            rspec, train_decoders=(stage == "color" or not mapspec.nice))
+
+        def frozen_loss(tr, k, _stage=stage, _frozen=frozen,
+                        _rspec=rspec_stage):
             # stop_gradient INSIDE the differentiated function: frozen
             # leaves get zero cotangents and XLA prunes their backward
             return mapping_loss(_stop_frozen(tr, _frozen), window, bound,
-                                k, camera, _stage, mapspec, rspec, mspec)
+                                k, camera, _stage, mapspec, _rspec, mspec)
 
         def step(carry, k, _stage=stage, _lr=lr_tree, _frozen=frozen,
                  _floss=None):
@@ -404,3 +411,42 @@ def map_optimize(params, grids, bound, window, cams0, masks, cam_lr_mask,
 
     return (tree["params"], tree["grids"], tree["cams"],
             jnp.concatenate(all_losses) if all_losses else jnp.zeros((0,)))
+
+
+@partial(jax.jit, static_argnames=("camera", "stage_iters", "mapspec",
+                                   "rspec", "mspec", "ba",
+                                   "coarse_bound_enlarge"),
+         donate_argnums=(0, 1, 3, 4))
+def mapping_step(params, grids, bound, store, est_buf, idx, color, depth,
+                 lr_factor, key, step_no, camera: Camera,
+                 stage_iters: Tuple[Tuple[str, int], ...], mapspec: MapSpec,
+                 rspec: RenderSpec, mspec: ModelSpec, ba: bool,
+                 coarse_bound_enlarge: int = 2):
+    """ONE dispatch per mapping event: RNG derivation, keyframe-window
+    selection, frustum masks, the staged optimization, and (under BA) the
+    keyframe-store + trajectory pose write-back — all fused into a single
+    jit so the host never runs an eager device op in the loop (each eager
+    op costs a full RPC on remote-attached TPUs; see engine.py docstring).
+
+    Returns (params, grids, store, est_buf, losses)."""
+    from nice_slam_tpu.keyframes import update_poses
+    from nice_slam_tpu.ops import to_homogeneous
+
+    key = jax.random.fold_in(key, step_no)
+    k1, k2 = jax.random.split(key)
+    cur_c2w = est_buf[idx]
+    window, masks, cams0, cam_lr_mask = prepare_mapping(
+        k1, store, color, depth, cur_c2w, grids, bound, camera, mapspec,
+        ba, coarse_bound_enlarge)
+    params, grids, cams, losses = map_optimize(
+        params, grids, bound, window, cams0, masks, cam_lr_mask,
+        lr_factor, k2, camera, stage_iters, mapspec, rspec, mspec)
+    if ba:
+        new_c2w = to_homogeneous(cam_from_tensor(cams))
+        kf_mask = (window["valid"]
+                   & (window["slots"] >= 0)
+                   & (cam_lr_mask > 0))
+        store = update_poses(store, jnp.maximum(window["slots"], 0),
+                             new_c2w, kf_mask)
+        est_buf = est_buf.at[idx].set(new_c2w[-1])
+    return params, grids, store, est_buf, losses

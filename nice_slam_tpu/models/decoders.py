@@ -210,11 +210,14 @@ def _dense(x, layer):
                    preferred_element_type=jnp.float32) + layer["b"]
 
 
-def apply_mlp(params, spec: DecoderSpec, p: jnp.ndarray, grids, bound):
+def apply_mlp(params, spec: DecoderSpec, p: jnp.ndarray, grids, bound,
+              c=None):
     """Coordinate MLP with per-layer grid-feature injection.
 
-    p: (N, 3) world coords. Returns (N, 4) if color else (N,)."""
-    if spec.c_dim != 0:
+    p: (N, 3) world coords. Returns (N, 4) if color else (N,).
+    c: optional precomputed grid features (N, c_dim) — used by the
+    sharded-grid path, where the gather psums over a mesh axis."""
+    if spec.c_dim != 0 and c is None:
         p_nor = normalize_coords(p, bound)
         c = trilinear_interp(grids[spec.name], p_nor)
         if spec.concat_feature:
@@ -234,11 +237,13 @@ def apply_mlp(params, spec: DecoderSpec, p: jnp.ndarray, grids, bound):
     return out if spec.color else out[..., 0]
 
 
-def apply_mlp_no_xyz(params, spec: DecoderSpec, p: jnp.ndarray, grids, bound):
+def apply_mlp_no_xyz(params, spec: DecoderSpec, p: jnp.ndarray, grids, bound,
+                     c=None):
     """Feature-only MLP (coarse level).  bound here is the enlarged coarse
     bound (reference NICE_SLAM.py:157)."""
-    p_nor = normalize_coords(p, bound)
-    c = trilinear_interp(grids[spec.name], p_nor)
+    if c is None:
+        p_nor = normalize_coords(p, bound)
+        c = trilinear_interp(grids[spec.name], p_nor)
     h = c
     for i in range(spec.n_blocks):
         h = jax.nn.relu(_dense(h, params["pts"][i]))
@@ -248,14 +253,111 @@ def apply_mlp_no_xyz(params, spec: DecoderSpec, p: jnp.ndarray, grids, bound):
     return out if spec.color else out[..., 0]
 
 
+def model_apply_feats(params, spec: ModelSpec, p: jnp.ndarray, feats,
+                      stage: str) -> jnp.ndarray:
+    """Stage-dispatched forward with PRECOMPUTED grid features.
+
+    feats: dict with (N, c_dim) features per level in use — the caller owns
+    the gather.  This is the decode entry point for sharded grids
+    (parallel/grid_sharded.py), where each feature row is a psum over the
+    mesh's model axis.  Semantics mirror model_apply: the fine decoder
+    consumes [fine, stop_grad(middle)] (reference decoder.py:182-187), the
+    color stage's occupancy is middle+fine (decoder.py:336-341)."""
+    dspecs = spec.decoder_specs()
+
+    def occ_mf():
+        c_full = jnp.concatenate(
+            [feats["fine"], jax.lax.stop_gradient(feats["middle"])], axis=-1)
+        fine_occ = apply_mlp(params["fine"], dspecs["fine"], p, None, None,
+                             c=c_full)
+        mid_occ = apply_mlp(params["middle"], dspecs["middle"], p, None,
+                            None, c=feats["middle"])
+        return fine_occ + mid_occ
+
+    if stage == "coarse":
+        occ = apply_mlp_no_xyz(params["coarse"], dspecs["coarse"], p, None,
+                               None, c=feats["coarse"])
+        return jnp.concatenate(
+            [jnp.zeros(p.shape[:-1] + (3,)), occ[..., None]], axis=-1)
+    if stage == "middle":
+        occ = apply_mlp(params["middle"], dspecs["middle"], p, None, None,
+                        c=feats["middle"])
+        return jnp.concatenate(
+            [jnp.zeros(p.shape[:-1] + (3,)), occ[..., None]], axis=-1)
+    if stage == "fine":
+        return jnp.concatenate(
+            [jnp.zeros(p.shape[:-1] + (3,)), occ_mf()[..., None]], axis=-1)
+    if stage == "color":
+        raw = apply_mlp(params["color"], dspecs["color"], p, None, None,
+                        c=feats["color"])
+        return jnp.concatenate([raw[..., :3], occ_mf()[..., None]], axis=-1)
+    raise ValueError(f"unknown stage {stage}")
+
+
+def _use_fused(spec: ModelSpec, stage: str, fused) -> bool:
+    """Static dispatch decision for the fused Pallas decode kernel
+    (ops/pallas/fused_decode.py).  fused: True forces it, False disables,
+    None = auto (TPU backend + model dims matching the kernel's static
+    tiling).  NICE_SLAM_TPU_FUSED=0/1 overrides auto."""
+    import os
+
+    if fused is False:
+        return False
+    env = os.environ.get("NICE_SLAM_TPU_FUSED", "")
+    if env == "0":
+        return False
+    if not (spec.nice and stage in ("fine", "color") and spec.c_dim == 32
+            and spec.hidden == 32
+            and spec.pos_embedding_method == "fourier"):
+        return False
+    try:
+        from nice_slam_tpu.ops.pallas.fused_decode import pallas_available
+        if not pallas_available():
+            return False
+    except Exception:  # pragma: no cover
+        return False
+    if fused is True or env == "1":
+        return True
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _fused_apply(params, spec: ModelSpec, grids, bound, p, stage: str,
+                 train_decoders: bool) -> jnp.ndarray:
+    """fine/color-stage decode through the fused Pallas kernel: features
+    gathered here (XLA gather + lerp), the 2-3 MLPs + occ sum in one
+    kernel per direction."""
+    from nice_slam_tpu.ops.pallas.fused_decode import (
+        fused_nice_decode,
+        pack_nice_weights,
+    )
+
+    p_nor = normalize_coords(p, bound)
+    c_mid = trilinear_interp(grids["middle"], p_nor)
+    c_fine = trilinear_interp(grids["fine"], p_nor)
+    with_color = stage == "color"
+    c_color = (trilinear_interp(grids["color"], p_nor) if with_color
+               else jnp.zeros_like(c_mid))
+    ws = pack_nice_weights(params)
+    return fused_nice_decode(with_color, train_decoders, p, c_mid, c_fine,
+                             c_color, *ws)
+
+
 def model_apply(params, spec: ModelSpec, grids, bound, p: jnp.ndarray,
-                stage: str = "color") -> jnp.ndarray:
+                stage: str = "color", fused=None,
+                train_decoders: bool = True) -> jnp.ndarray:
     """Stage-dispatched forward: (N, 3) points -> raw (N, 4) [rgb, occ].
 
-    `stage` must be static under jit (one compile per stage)."""
+    `stage` must be static under jit (one compile per stage).
+    `fused`/`train_decoders` control the fused Pallas kernel dispatch
+    (see _use_fused); train_decoders=False skips decoder weight-gradient
+    accumulation in the kernel's backward (frozen decoders)."""
     dspecs = spec.decoder_specs()
     if not spec.nice:
         return apply_mlp(params["imap"], dspecs["imap"], p, grids, bound)
+
+    if stage in ("fine", "color") and _use_fused(spec, stage, fused):
+        return _fused_apply(params, spec, grids, bound, p, stage,
+                            train_decoders)
 
     if stage == "coarse":
         coarse_bound = bound * spec.coarse_bound_enlarge

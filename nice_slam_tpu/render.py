@@ -42,13 +42,21 @@ class RenderSpec:
     lindisp: bool = False
     perturb: float = 0.0
     occupancy: bool = True
+    # fused Pallas decode control (models/decoders.py:_use_fused):
+    # None = auto (TPU + matching dims), True/False force.  train_decoders
+    # False prunes decoder weight grads from the fused backward (set by
+    # tracking and by non-color mapping stages, where decoders are frozen).
+    fused: object = None
+    train_decoders: bool = True
 
 
 def eval_points(params, mspec: ModelSpec, grids, bound, p: jnp.ndarray,
-                stage: str) -> jnp.ndarray:
+                stage: str, fused=None,
+                train_decoders: bool = True) -> jnp.ndarray:
     """Decode raw (N, 4) predictions; occupancy forced to 100 outside the
     AABB (reference Renderer.py:38-61)."""
-    raw = model_apply(params, mspec, grids, bound, p, stage)
+    raw = model_apply(params, mspec, grids, bound, p, stage, fused=fused,
+                      train_decoders=train_decoders)
     inside = jnp.all((p > bound[:, 0]) & (p < bound[:, 1]), axis=-1)
     occ = jnp.where(inside, raw[..., 3], 100.0)
     return jnp.concatenate([raw[..., :3], occ[..., None]], axis=-1)
@@ -83,21 +91,33 @@ def _zvals(key, rays_o, rays_d, gt_depth, bound, rspec: RenderSpec,
 def render_rays(params, mspec: ModelSpec, grids, bound,
                 rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                 key, rspec: RenderSpec, stage: str,
-                gt_depth: Optional[jnp.ndarray] = None):
+                gt_depth: Optional[jnp.ndarray] = None,
+                decode_fn=None):
     """Render a batch of rays.
 
     gt_depth=None (a static choice — e.g. the coarse stage) disables
     surface sampling and uses scalar near (reference Renderer.py:88-92).
 
+    decode_fn: optional override (M, 3) points -> raw (M, 4), replacing
+    eval_points — the hook the sharded-grid path uses to psum feature
+    gathers over a device mesh (parallel/grid_sharded.py).  Must include
+    the out-of-AABB occupancy forcing.
+
     Returns (depth (N,), uncertainty (N,), color (N, 3), weights (N, S)).
     """
+    if decode_fn is None:
+        def decode_fn(pp):
+            return eval_points(params, mspec, grids, bound, pp, stage,
+                               fused=rspec.fused,
+                               train_decoders=rspec.train_decoders)
+
     with_depth = gt_depth is not None and stage != "coarse"
     z_vals = _zvals(key, rays_o, rays_d,
                     gt_depth if with_depth else None, bound, rspec, with_depth)
 
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     n, s, _ = pts.shape
-    raw = eval_points(params, mspec, grids, bound, pts.reshape(-1, 3), stage)
+    raw = decode_fn(pts.reshape(-1, 3))
     raw = raw.reshape(n, s, 4)
     depth, var, color, weights = raw2outputs(raw, z_vals, rays_d,
                                              rspec.occupancy)
@@ -110,7 +130,7 @@ def render_rays(params, mspec: ModelSpec, grids, bound,
         z_imp = jax.lax.stop_gradient(z_imp)
         z_vals = jnp.sort(jnp.concatenate([z_vals, z_imp], axis=-1), axis=-1)
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-        raw = eval_points(params, mspec, grids, bound, pts.reshape(-1, 3), stage)
+        raw = decode_fn(pts.reshape(-1, 3))
         raw = raw.reshape(n, s + rspec.n_importance, 4)
         depth, var, color, weights = raw2outputs(raw, z_vals, rays_d,
                                                  rspec.occupancy)

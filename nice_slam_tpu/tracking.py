@@ -10,6 +10,7 @@ so shapes stay static.
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from functools import partial
 
@@ -104,6 +105,9 @@ def track_frame(params, grids, bound, cam0, gt_color, gt_depth, key,
 
     The candidate kept is the post-step camera whose pre-step loss was
     minimal — matching the reference's bookkeeping (Tracker.py:232-247)."""
+    # tracking optimizes the camera against a frozen map: the fused decode
+    # kernel can skip decoder weight-gradient accumulation entirely
+    rspec = dataclasses.replace(rspec, train_decoders=False)
     if tspec.seperate_lr:
         # quaternion LR is 0.2x the translation LR (Tracker.py:202-213)
         lr = jnp.concatenate([jnp.full((4,), tspec.lr * 0.2),
@@ -159,3 +163,37 @@ def track_frame_full(params, grids, bound, pre_c2w, pre_pre_c2w,
         tspec, rspec, mspec)
     c2w = to_homogeneous(cam_from_tensor(best_cam))
     return c2w, first_loss, last_loss, best_loss
+
+
+@partial(jax.jit, static_argnames=("camera", "tspec", "rspec", "mspec"),
+         donate_argnums=(3,))
+def track_frame_step(params, grids, bound, est_buf, idx, gt_color, gt_depth,
+                     key, step_no, camera: Camera, tspec: TrackSpec,
+                     rspec: RenderSpec, mspec: ModelSpec):
+    """Device-resident-trajectory tracking step: reads the previous poses
+    out of `est_buf` (n_img, 4, 4), writes the optimized pose back at
+    `idx`, all in one dispatch with NO host synchronization.  The engine's
+    whole track->map pipeline stays on device; the host only enqueues.
+    RNG comes from fold_in(key, step_no) INSIDE the jit (an eager split
+    per frame costs a full RPC on remote-attached chips).
+
+    idx is traced (one compile covers all frames); the constant-speed
+    motion model falls back to the previous pose when idx < 2 — same
+    behavior as the reference's `if cfg use_const_speed and idx-2>=0`
+    (Tracker.py:192-198)."""
+    from nice_slam_tpu.ops import tensor_from_cam, to_homogeneous
+
+    key = jax.random.fold_in(key, step_no)
+    pre = est_buf[idx - 1]
+    if tspec.const_speed:
+        prepre = est_buf[jnp.maximum(idx - 2, 0)]
+        init_c2w = jnp.where(idx >= 2, const_speed_init(pre, prepre), pre)
+    else:
+        init_c2w = pre
+    cam0 = tensor_from_cam(init_c2w)
+    best_cam, first_loss, last_loss, best_loss = track_frame(
+        params, grids, bound, cam0, gt_color, gt_depth, key, camera,
+        tspec, rspec, mspec)
+    c2w = to_homogeneous(cam_from_tensor(best_cam))
+    est_buf = est_buf.at[idx].set(c2w)
+    return est_buf, first_loss, last_loss, best_loss

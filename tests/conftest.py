@@ -5,6 +5,10 @@ sandbox has few cores; first-run compiles dominate otherwise)."""
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# deterministic decode math in tests regardless of backend: the fused
+# Pallas kernel (TPU) uses MXU-speed matmuls whose rounding differs from
+# the f32-highest jnp path; TPU-specific kernel tests opt back in.
+os.environ.setdefault("NICE_SLAM_TPU_FUSED", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

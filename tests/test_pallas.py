@@ -90,6 +90,37 @@ class TestMlpMath:
                                    np.asarray(fine[:, 3]), atol=1e-6)
         np.testing.assert_allclose(np.asarray(fine[:, :3]), 0.0)
 
+    def test_fused_wiring_matches_model_apply(self):
+        """The _fused_apply gather + packed-weight decode must equal the
+        standard jnp model_apply for both stages it serves (validated here
+        via reference_nice_decode, which the TPU kernel is tested against)."""
+        from nice_slam_tpu.models.decoders import model_apply, nice_model_spec
+        from nice_slam_tpu.ops.grid import normalize_coords, trilinear_interp
+        from nice_slam_tpu.state import make_map_state
+
+        mspec = nice_model_spec()
+        state = make_map_state(
+            jax.random.PRNGKey(3), mspec, [[-2.0, 2.0]] * 3,
+            {"coarse": 2.0, "middle": 0.32, "fine": 0.16, "color": 0.16},
+            0.32)
+        ws = list(fd.pack_nice_weights(state.params))
+        p = jax.random.uniform(jax.random.PRNGKey(7), (50, 3),
+                               minval=-1.5, maxval=1.5)
+        p_nor = normalize_coords(p, state.bound)
+        c_mid = trilinear_interp(state.grids["middle"], p_nor)
+        c_fine = trilinear_interp(state.grids["fine"], p_nor)
+        c_color = trilinear_interp(state.grids["color"], p_nor)
+        for stage, with_color in (("fine", False), ("color", True)):
+            want = model_apply(state.params, mspec, state.grids, state.bound,
+                               p, stage, fused=False)
+            got = fd.reference_nice_decode(with_color, p, c_mid, c_fine,
+                                           c_color, *ws)
+            np.testing.assert_allclose(np.asarray(got[:, 3]),
+                                       np.asarray(want[:, 3]), atol=5e-3)
+            if with_color:
+                np.testing.assert_allclose(np.asarray(got[:, :3]),
+                                           np.asarray(want[:, :3]), atol=5e-3)
+
     def test_pack_shapes(self, setup):
         params, ws = setup
         assert len(ws) == 3 * fd.N_PER_DEC
