@@ -43,9 +43,12 @@ def main():
 
     n_warm = 26    # through the first BA-active mapping event (>4 kfs)
     n_frames = n_warm + 20
+    # dataset is one frame longer than the measured range: the engine's
+    # final-frame path (checkpoint save + color refine) must not fire
+    # inside the measured segment — it fetches the whole map state
     cfg = load_config(overrides={
         "dataset": "synthetic",
-        "synthetic": {"n_frames": n_frames},
+        "synthetic": {"n_frames": n_frames + 1},
         "cam": {"H": 680, "W": 1200, "fx": 600.0, "fy": 600.0,
                 "cx": 599.5, "cy": 339.5},
         "grid_len": {"coarse": 1.0, "middle": 0.32, "fine": 0.16,
@@ -83,6 +86,12 @@ def main():
     # (async dispatch through remote backends can make per-call
     # block_until_ready unreliable; a data fetch always syncs).
     frames_data = [eng._load_frame(idx) for idx in range(n_warm, n_frames)]
+    # jnp.asarray uploads are LAZY on remote backends: force every frame
+    # onto the device now (tiny per-buffer fetches), or the host->device
+    # transfers land inside the measured segment
+    for (color, depth, _) in frames_data:
+        np.asarray(jax.device_get(color[0, 0]))
+        np.asarray(jax.device_get(depth[0, 0]))
 
     t0 = time.perf_counter()
     for (idx, (color, depth, gt_pose)) in zip(range(n_warm, n_frames),

@@ -143,6 +143,10 @@ DEFAULTS: Dict[str, Any] = {
     "tpu": {
         "seed": 0,
         "precision": "float32",
+        # decoder GEMM precision on the MXU: "highest" (6-pass f32,
+        # reference parity), "float32" (3-pass), "default" (1-pass bf16
+        # inputs / f32 accumulate) — see models/decoders.py
+        "matmul_precision": "highest",
         "data_parallel": False,        # shard mapping rays over the mesh
         "mesh_shape": None,            # e.g. [8] -> ('data',) mesh
         "keyframe_capacity": None,     # default: n_img//keyframe_every + 4
@@ -231,6 +235,8 @@ class SlamSpecs:
 
 def specs_from_config(cfg: dict) -> SlamSpecs:
     nice = bool(cfg["nice"])
+    from nice_slam_tpu.models.decoders import set_matmul_precision
+    set_matmul_precision(cfg["tpu"].get("matmul_precision", "highest"))
     camera = Camera.from_cfg(cfg["cam"])
     model = ModelSpec(
         nice=nice,

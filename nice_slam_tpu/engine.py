@@ -186,6 +186,10 @@ class SlamEngine:
     def _load_frame(self, idx: int):
         t0 = time.perf_counter()
         _, color, depth, gt_pose = self.dataset[idx]
+        if getattr(self.dataset, "transfer_color_uint8", False):
+            # 8-bit-native color crosses the host->device link as uint8
+            # (4x less traffic); dequantized inside the jitted steps
+            color = np.clip(color * 255.0 + 0.5, 0, 255).astype(np.uint8)
         out = (jnp.asarray(color), jnp.asarray(depth), np.asarray(gt_pose))
         self.timings["io"] += time.perf_counter() - t0
         return out
@@ -204,9 +208,12 @@ class SlamEngine:
             self.map_state.params, self.map_state.grids, self.bound,
             self._est_dev, idx, color, depth, self._key_base,
             self._next_step(), s.camera, s.track, s.render, s.model)
-        self._sync(self._est_dev, "track", t0)
-        if not _PROFILE:
-            self.timings["track"] += time.perf_counter() - t0
+        # one SCALAR FETCH per step: remote-attached chips execute queued
+        # programs ~4x slower than serially-synced ones, and fetches of
+        # donation-aliased buffers (est_buf) do not wait for the compute —
+        # a fresh-scalar fetch is the only reliable step barrier
+        np.asarray(jax.device_get(best_loss))
+        self.timings["track"] += time.perf_counter() - t0
 
         # loss scalars stay on device; materialized lazily by stats()
         self.tracking_stats.append(
@@ -235,8 +242,9 @@ class SlamEngine:
             float(lr_factor), self._key_base, self._next_step(),
             s.camera, stage_iters, mapspec, s.render, s.model, ba,
             s.model.coarse_bound_enlarge)
-        if _PROFILE:
-            np.asarray(jax.device_get(losses[-1]))
+        # fresh-buffer fetch = reliable step barrier (see track());
+        # losses is a fresh (n_iters,) array, no eager slice op needed
+        np.asarray(jax.device_get(losses))
         self.timings["coarse_map" if coarse else "map"] += \
             time.perf_counter() - t0
         return losses
@@ -286,12 +294,6 @@ class SlamEngine:
                           self.iters_first if first else self.iters,
                           self.lr_first_factor if first else self.lr_factor,
                           ba=False, coarse=True)
-        # bound the device queue: one SCALAR FETCH per mapping event keeps
-        # the remote dispatch pipeline healthy (deep async queues degrade
-        # throughput ~3x on tunneled chips, and block_until_ready is NOT a
-        # reliable sync through remote backends — only a data fetch is)
-        if losses is not None and not _PROFILE:
-            np.asarray(jax.device_get(losses))
 
         if (idx % self.ckpt_freq == 0 and idx > 0) or final:
             self.save(os.path.join(self.output, "ckpts",

@@ -61,7 +61,8 @@ def add_keyframe(store: KeyframeStore, color, depth, est_c2w, gt_c2w,
     donated: the insert is a true in-place dynamic_update_slice — without
     donation every insert would copy the whole multi-GB ring."""
     i = store.count
-    c8 = jnp.clip(color * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    c8 = (color if color.dtype == jnp.uint8
+          else jnp.clip(color * 255.0 + 0.5, 0, 255).astype(jnp.uint8))
     return KeyframeStore(
         colors=jax.lax.dynamic_update_index_in_dim(store.colors, c8, i, 0),
         depths=jax.lax.dynamic_update_index_in_dim(store.depths, depth, i, 0),

@@ -433,6 +433,8 @@ def mapping_step(params, grids, bound, store, est_buf, idx, color, depth,
     from nice_slam_tpu.ops import to_homogeneous
 
     key = jax.random.fold_in(key, step_no)
+    if color.dtype == jnp.uint8:
+        color = color.astype(jnp.float32) / 255.0
     k1, k2 = jax.random.split(key)
     cur_c2w = est_buf[idx]
     window, masks, cams0, cam_lr_mask = prepare_mapping(

@@ -203,10 +203,26 @@ def init_model(key, spec: ModelSpec):
 # ---------------------------------------------------------------------------
 # Forward
 
+# Decoder GEMM precision: "highest" = 6-pass f32 emulation on the MXU
+# (parity with the reference's CUDA f32 GEMMs), "float32" = 3-pass,
+# "default" = single-pass bf16 inputs / f32 accumulate (MXU native speed).
+# The Fourier embedding always stays at "highest" (sin() of O(100) args).
+# Set via nice_slam_tpu config tpu.matmul_precision or set_matmul_precision.
+_MATMUL_PRECISION = "highest"
+
+
+def set_matmul_precision(p: str) -> None:
+    global _MATMUL_PRECISION
+    assert p in ("highest", "float32", "default")
+    global_changed = _MATMUL_PRECISION != p
+    _MATMUL_PRECISION = p
+    if global_changed:
+        jax.clear_caches()  # precision is baked into traced graphs
+
+
 def _dense(x, layer):
-    # full-f32 matmul for parity with the reference's CUDA f32 GEMMs; the
-    # perf pass may relax hot decoders to bf16 once ATE impact is measured
-    return jnp.dot(x, layer["w"], precision="highest",
+    prec = None if _MATMUL_PRECISION == "default" else _MATMUL_PRECISION
+    return jnp.dot(x, layer["w"], precision=prec,
                    preferred_element_type=jnp.float32) + layer["b"]
 
 
@@ -296,9 +312,13 @@ def model_apply_feats(params, spec: ModelSpec, p: jnp.ndarray, feats,
 
 def _use_fused(spec: ModelSpec, stage: str, fused) -> bool:
     """Static dispatch decision for the fused Pallas decode kernel
-    (ops/pallas/fused_decode.py).  fused: True forces it, False disables,
-    None = auto (TPU backend + model dims matching the kernel's static
-    tiling).  NICE_SLAM_TPU_FUSED=0/1 overrides auto."""
+    (ops/pallas/fused_decode.py).  OPT-IN only (fused=True or
+    NICE_SLAM_TPU_FUSED=1): measured end-to-end on v5e, XLA's own fusion
+    of the gather+MLP pipeline beats the hand-written kernel (2.45 vs
+    2.29 frames/s at the Replica budget) — the kernel's sequential
+    weight-gradient accumulation across tiles serializes its backward.
+    Kept as infrastructure for wider-MLP configs where VMEM residency
+    wins."""
     import os
 
     if fused is False:
@@ -317,8 +337,8 @@ def _use_fused(spec: ModelSpec, stage: str, fused) -> bool:
     except Exception:  # pragma: no cover
         return False
     if fused is True or env == "1":
-        return True
-    return jax.default_backend() in ("tpu", "axon")
+        return jax.default_backend() in ("tpu", "axon")
+    return False
 
 
 def _fused_apply(params, spec: ModelSpec, grids, bound, p, stage: str,

@@ -184,6 +184,8 @@ def track_frame_step(params, grids, bound, est_buf, idx, gt_color, gt_depth,
     from nice_slam_tpu.ops import tensor_from_cam, to_homogeneous
 
     key = jax.random.fold_in(key, step_no)
+    if gt_color.dtype == jnp.uint8:
+        gt_color = gt_color.astype(jnp.float32) / 255.0
     pre = est_buf[idx - 1]
     if tspec.const_speed:
         prepre = est_buf[jnp.maximum(idx - 2, 0)]

@@ -32,6 +32,12 @@ class BaseDataset:
     """Yields (index, color (H,W,3) f32 [0,1], depth (H,W) f32 meters,
     gt_c2w (4,4) f32) as numpy arrays."""
 
+    # file-backed color is natively 8-bit: the engine may transfer it to
+    # the device as uint8 (4x less tunnel/PCIe traffic) and dequantize
+    # in-jit — bit-exact vs the f32 path for 8-bit sources.  The synthetic
+    # dataset overrides this (its color is continuous f32).
+    transfer_color_uint8 = True
+
     def __init__(self, cfg: dict, input_folder: Optional[str] = None,
                  scale: float = 1.0):
         cam = cfg["cam"]
@@ -231,6 +237,8 @@ class TUMRGBD(BaseDataset):
 
 class Synthetic(BaseDataset):
     """Procedurally ray-traced scene; renders frames lazily and caches."""
+
+    transfer_color_uint8 = False  # continuous f32 color, keep exact
 
     def __init__(self, cfg, input_folder=None, scale=1.0):
         super().__init__(cfg, input_folder, scale)

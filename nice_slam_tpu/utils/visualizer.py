@@ -76,7 +76,10 @@ def make_engine_vis_hook(vis_dir: str, freq: int = 50):
     vis = Visualizer(freq, 1, vis_dir)
 
     def hook(engine, idx, color, depth):
-        vis.maybe_vis(engine, idx, 0, np.asarray(color), np.asarray(depth),
+        c = np.asarray(color)
+        if c.dtype == np.uint8:  # engine may stream color as uint8
+            c = c.astype(np.float32) / 255.0
+        vis.maybe_vis(engine, idx, 0, c, np.asarray(depth),
                       engine.est_c2w[idx])
 
     return hook
