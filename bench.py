@@ -81,26 +81,35 @@ def main():
     eng.run(n_frames=n_warm)
     eng.timings = {k: 0.0 for k in eng.timings}
 
-    # Pre-render all frames so I/O is fully excluded from the measured
-    # segment, then measure wall clock with a hard device sync at the end
-    # (async dispatch through remote backends can make per-call
-    # block_until_ready unreliable; a data fetch always syncs).
-    frames_data = [eng._load_frame(idx) for idx in range(n_warm, n_frames)]
-    # jnp.asarray uploads are LAZY on remote backends: force every frame
-    # onto the device now (tiny per-buffer fetches), or the host->device
-    # transfers land inside the measured segment
-    for (color, depth, _) in frames_data:
-        np.asarray(jax.device_get(color[0, 0]))
-        np.asarray(jax.device_get(depth[0, 0]))
+    # Pre-render + pre-upload all measured frames as per-group stacks so
+    # I/O is fully excluded from the measured segment (jnp.asarray uploads
+    # are LAZY on remote backends: force them with tiny fetches).  The
+    # measured loop is the engine's grouped fast path: ONE tracking
+    # dispatch + ONE barrier per 5-frame group, mapping event reuses the
+    # group's uploaded stack in-jit.
+    from nice_slam_tpu.tracking import track_frames_group
 
+    groups = []
+    for lo in range(n_warm, n_frames, eng.every_frame):
+        hi = min(lo + eng.every_frame - 1, n_frames - 1)
+        colors, depths, gts = eng._load_frames_stacked(lo, hi)
+        np.asarray(jax.device_get(colors[0, 0, 0]))
+        np.asarray(jax.device_get(depths[0, 0, 0]))
+        groups.append((lo, hi, colors, depths, gts))
+
+    s = eng.specs
     t0 = time.perf_counter()
-    for (idx, (color, depth, gt_pose)) in zip(range(n_warm, n_frames),
-                                              frames_data):
-        eng.track(idx, color, depth, gt_pose)
-        if idx % eng.every_frame == 0 or idx == n_frames - 1:
-            eng.mapping_event(idx, color, depth, gt_pose)
-        eng.frames_done = idx + 1
-    np.asarray(jax.device_get(eng.map_state.grids["middle"][0, 0, 0]))
+    for (lo, hi, colors, depths, gts) in groups:
+        eng.gt_c2w[lo:hi + 1] = gts
+        eng._est_dev, losses = track_frames_group(
+            eng.map_state.params, eng.map_state.grids, eng.bound,
+            eng._est_dev, lo, colors, depths, eng._key_base,
+            eng._next_step(), s.camera, s.track, s.render, s.model)
+        np.asarray(jax.device_get(losses))
+        if hi % eng.every_frame == 0 or hi == n_frames - 1:
+            eng.mapping_event(hi, colors, depths, gts[-1],
+                              frame_sel=hi - lo)
+        eng.frames_done = hi + 1
     device_time = time.perf_counter() - t0
     frames = n_frames - n_warm
     fps = frames / device_time

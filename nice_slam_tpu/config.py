@@ -145,8 +145,14 @@ DEFAULTS: Dict[str, Any] = {
         "precision": "float32",
         # decoder GEMM precision on the MXU: "highest" (6-pass f32,
         # reference parity), "float32" (3-pass), "default" (1-pass bf16
-        # inputs / f32 accumulate) — see models/decoders.py
-        "matmul_precision": "highest",
+        # inputs / f32 accumulate, MXU-native).  Default bf16: a 3-seed
+        # study showed no ATE degradation vs "highest" (6.1/9.7/10.7 vs
+        # 9.9/9.2/61.7 cm on the 40-frame synthetic) at ~2.1x mapping
+        # speed; CPU ignores this (always f32), so tests are unaffected.
+        "matmul_precision": "default",
+        # strict-mode fast path: track each inter-mapping frame group in
+        # ONE dispatch + ONE barrier (engine._run_grouped)
+        "grouped_tracking": True,
         "data_parallel": False,        # shard mapping rays over the mesh
         "mesh_shape": None,            # e.g. [8] -> ('data',) mesh
         "keyframe_capacity": None,     # default: n_img//keyframe_every + 4

@@ -81,6 +81,14 @@ class SlamEngine:
         sync = cfg.get("sync_method", "strict")
         self.map_lag = (self.every_frame // 2
                         if sync in ("loose", "free") else 0)
+        self.grouped_tracking = bool(
+            cfg["tpu"].get("grouped_tracking", True))
+        # ray-data-parallel mapping over a device mesh (tpu.data_parallel)
+        self.mesh = None
+        if cfg["tpu"].get("data_parallel") and len(jax.devices()) > 1:
+            from nice_slam_tpu.parallel import make_mesh
+            shape = cfg["tpu"].get("mesh_shape")
+            self.mesh = make_mesh(shape[0] if shape else None)
         self._frame_cache = {}
 
         key = jax.random.PRNGKey(cfg["tpu"]["seed"])
@@ -172,15 +180,26 @@ class SlamEngine:
         self._est_dev = jnp.asarray(value, jnp.float32)
 
     def stats(self) -> list:
-        """tracking_stats with device scalars materialized (one sync)."""
-        if self.tracking_stats:
-            vals = np.asarray(jax.device_get(
-                [[s["first_loss"], s["last_loss"], s["best_loss"]]
-                 for s in self.tracking_stats]))
-            self.tracking_stats = [
-                {"idx": s["idx"], "first_loss": float(v[0]),
-                 "last_loss": float(v[1]), "best_loss": float(v[2])}
-                for s, v in zip(self.tracking_stats, vals)]
+        """tracking_stats with device scalars materialized (one sync).
+        Entries come in two shapes: per-frame dicts (per-frame path) and
+        {"idxs", "arr"} group records (grouped path); both flatten to
+        per-frame dicts here."""
+        out = []
+        for s in self.tracking_stats:
+            if "idxs" in s:
+                arr = np.asarray(jax.device_get(s["arr"]))
+                for i, idx in enumerate(s["idxs"]):
+                    out.append({"idx": idx,
+                                "first_loss": float(arr[i, 0]),
+                                "last_loss": float(arr[i, 1]),
+                                "best_loss": float(arr[i, 2])})
+            else:
+                v = np.asarray(jax.device_get(
+                    [s["first_loss"], s["last_loss"], s["best_loss"]]))
+                out.append({"idx": s["idx"], "first_loss": float(v[0]),
+                            "last_loss": float(v[1]),
+                            "best_loss": float(v[2])})
+        self.tracking_stats = out
         return self.tracking_stats
 
     def _load_frame(self, idx: int):
@@ -191,6 +210,24 @@ class SlamEngine:
             # (4x less traffic); dequantized inside the jitted steps
             color = np.clip(color * 255.0 + 0.5, 0, 255).astype(np.uint8)
         out = (jnp.asarray(color), jnp.asarray(depth), np.asarray(gt_pose))
+        self.timings["io"] += time.perf_counter() - t0
+        return out
+
+    def _load_frames_stacked(self, lo: int, hi: int):
+        """Load frames lo..hi inclusive as stacked device arrays
+        (one upload for the whole group)."""
+        t0 = time.perf_counter()
+        u8 = getattr(self.dataset, "transfer_color_uint8", False)
+        colors, depths, gts = [], [], []
+        for i in range(lo, hi + 1):
+            _, c, d, g = self.dataset[i]
+            if u8:
+                c = np.clip(c * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            colors.append(c)
+            depths.append(d)
+            gts.append(np.asarray(g))
+        out = (jnp.asarray(np.stack(colors)), jnp.asarray(np.stack(depths)),
+               np.stack(gts))
         self.timings["io"] += time.perf_counter() - t0
         return out
 
@@ -224,7 +261,7 @@ class SlamEngine:
 
     def map_once(self, idx: int, color, depth, mapspec,
                  num_joint_iters: int, lr_factor: float, ba: bool,
-                 coarse: bool = False):
+                 coarse: bool = False, frame_sel: int = 0):
         """One mapping optimization: keyframe selection, frustum masks,
         staged optimization and BA pose write-back fused into a single
         dispatch (mapping.mapping_step)."""
@@ -238,10 +275,10 @@ class SlamEngine:
         (self.map_state.params, self.map_state.grids, self.store,
          self._est_dev, losses) = mapping_step(
             self.map_state.params, self.map_state.grids, self.bound,
-            self.store, self._est_dev, idx, color, depth,
+            self.store, self._est_dev, idx, color, depth, frame_sel,
             float(lr_factor), self._key_base, self._next_step(),
             s.camera, stage_iters, mapspec, s.render, s.model, ba,
-            s.model.coarse_bound_enlarge)
+            s.model.coarse_bound_enlarge, self.mesh)
         # fresh-buffer fetch = reliable step barrier (see track());
         # losses is a fresh (n_iters,) array, no eager slice op needed
         np.asarray(jax.device_get(losses))
@@ -250,9 +287,10 @@ class SlamEngine:
         return losses
 
     def mapping_event(self, idx: int, color, depth, gt_pose,
-                      first: bool = False) -> None:
+                      first: bool = False, frame_sel: int = 0) -> None:
         """One mapping wake-up: fine mapper (+BA, keyframe insertion,
-        checkpoint/mesh hooks) and the coarse mapper."""
+        checkpoint/mesh hooks) and the coarse mapper.  color/depth may be
+        a stacked frame group with `frame_sel` picking the frame in-jit."""
         final = idx == self.n_img - 1
         mapspec = self.specs.mapper
 
@@ -275,7 +313,7 @@ class SlamEngine:
         for _ in range(outer):
             ba = (len(self.kf_frame_ids) > 4) and mapspec.ba
             losses = self.map_once(idx, color, depth, mapspec,
-                                   n_iters, lr_f, ba)
+                                   n_iters, lr_f, ba, frame_sel=frame_sel)
 
         # keyframe insertion (Mapper.py:611-617)
         if (idx % self.keyframe_every == 0 or idx >= self.n_img - 2) \
@@ -283,7 +321,8 @@ class SlamEngine:
                 and len(self.kf_frame_ids) < self.store.capacity:
             tk = time.perf_counter()
             self.store = add_keyframe_from(
-                self.store, color, depth, self._est_dev, gt_pose, idx)
+                self.store, color, depth, self._est_dev, gt_pose, idx,
+                frame_sel)
             self._sync(self.store.count, "kf_add", tk)
             self.kf_frame_ids.append(idx)
 
@@ -293,7 +332,7 @@ class SlamEngine:
                           self.specs.coarse_mapper,
                           self.iters_first if first else self.iters,
                           self.lr_first_factor if first else self.lr_factor,
-                          ba=False, coarse=True)
+                          ba=False, coarse=True, frame_sel=frame_sel)
 
         if (idx % self.ckpt_freq == 0 and idx > 0) or final:
             self.save(os.path.join(self.output, "ckpts",
@@ -316,6 +355,11 @@ class SlamEngine:
 
     def run(self, n_frames: Optional[int] = None, progress: bool = False):
         n = min(n_frames or self.n_img, self.n_img)
+        grouped = (self.grouped_tracking and self.map_lag == 0
+                   and self.vis_hook is None and not self.gt_camera
+                   and self.every_frame > 1)
+        if grouped:
+            return self._run_grouped(n, progress)
         it = range(n)
         if progress:
             try:
@@ -347,6 +391,58 @@ class SlamEngine:
             if self.vis_hook is not None:
                 self.vis_hook(self, idx, color, depth)
             self.frames_done = idx + 1
+        return self
+
+    def _run_grouped(self, n: int, progress: bool = False):
+        """Strict-schedule fast path: every inter-mapping frame group is
+        tracked in ONE dispatch (tracking.track_frames_group) and its
+        uploaded frame stack is reused by the mapping event in-jit — one
+        device barrier per group instead of per frame."""
+        from nice_slam_tpu.tracking import track_frames_group
+
+        s = self.specs
+        bar = None
+        if progress:
+            try:
+                from tqdm import tqdm
+                bar = tqdm(total=n, desc="slam")
+            except ImportError:
+                pass
+
+        color, depth, gt_pose = self._load_frame(0)
+        self.gt_c2w[0] = gt_pose
+        self._est_dev = self._set_pose(self._est_dev, 0, gt_pose)
+        self.mapping_event(0, color, depth, gt_pose, first=True)
+        self.frames_done = 1
+        if bar:
+            bar.update(1)
+
+        cur = 1
+        while cur < n:
+            g_end = min(((cur - 1) // self.every_frame + 1)
+                        * self.every_frame, n - 1)
+            colors, depths, gts = self._load_frames_stacked(cur, g_end)
+            self.gt_c2w[cur:g_end + 1] = gts
+
+            t0 = time.perf_counter()
+            self._est_dev, losses = track_frames_group(
+                self.map_state.params, self.map_state.grids, self.bound,
+                self._est_dev, cur, colors, depths, self._key_base,
+                self._next_step(), s.camera, s.track, s.render, s.model)
+            np.asarray(jax.device_get(losses))  # group barrier (fresh buf)
+            self.timings["track"] += time.perf_counter() - t0
+            self.tracking_stats.append(
+                {"idxs": list(range(cur, g_end + 1)), "arr": losses})
+
+            if g_end == n - 1 or g_end % self.every_frame == 0:
+                self.mapping_event(g_end, colors, depths, gts[-1],
+                                   frame_sel=g_end - cur)
+            self.frames_done = g_end + 1
+            if bar:
+                bar.update(g_end + 1 - cur)
+            cur = g_end + 1
+        if bar:
+            bar.close()
         return self
 
     def save(self, path: str):

@@ -77,9 +77,14 @@ def add_keyframe(store: KeyframeStore, color, depth, est_c2w, gt_c2w,
 
 @partial(jax.jit, donate_argnums=(0,))
 def add_keyframe_from(store: KeyframeStore, color, depth, est_buf,
-                      gt_c2w, frame_idx) -> KeyframeStore:
+                      gt_c2w, frame_idx, frame_sel=0) -> KeyframeStore:
     """add_keyframe with the estimated pose read out of the device-resident
-    trajectory buffer inside the jit (no eager slice on the host path)."""
+    trajectory buffer inside the jit (no eager slice on the host path).
+    color/depth may be stacked groups (G, H, W, ...) with `frame_sel`
+    picking the frame in-jit."""
+    if color.ndim == 4:
+        color = color[frame_sel]
+        depth = depth[frame_sel]
     return add_keyframe(store, color, depth, est_buf[frame_idx], gt_c2w,
                         frame_idx)
 

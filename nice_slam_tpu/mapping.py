@@ -415,24 +415,31 @@ def map_optimize(params, grids, bound, window, cams0, masks, cam_lr_mask,
 
 @partial(jax.jit, static_argnames=("camera", "stage_iters", "mapspec",
                                    "rspec", "mspec", "ba",
-                                   "coarse_bound_enlarge"),
+                                   "coarse_bound_enlarge", "mesh"),
          donate_argnums=(0, 1, 3, 4))
 def mapping_step(params, grids, bound, store, est_buf, idx, color, depth,
-                 lr_factor, key, step_no, camera: Camera,
+                 frame_sel, lr_factor, key, step_no, camera: Camera,
                  stage_iters: Tuple[Tuple[str, int], ...], mapspec: MapSpec,
                  rspec: RenderSpec, mspec: ModelSpec, ba: bool,
-                 coarse_bound_enlarge: int = 2):
+                 coarse_bound_enlarge: int = 2, mesh=None):
     """ONE dispatch per mapping event: RNG derivation, keyframe-window
     selection, frustum masks, the staged optimization, and (under BA) the
     keyframe-store + trajectory pose write-back — all fused into a single
     jit so the host never runs an eager device op in the loop (each eager
     op costs a full RPC on remote-attached TPUs; see engine.py docstring).
 
+    color/depth may be a single frame (H, W, ...) or a stacked group
+    (G, H, W, ...) with `frame_sel` picking the mapping frame in-jit (the
+    grouped tracking path reuses its uploaded stack for free).
+
     Returns (params, grids, store, est_buf, losses)."""
     from nice_slam_tpu.keyframes import update_poses
     from nice_slam_tpu.ops import to_homogeneous
 
     key = jax.random.fold_in(key, step_no)
+    if color.ndim == 4:
+        color = color[frame_sel]
+        depth = depth[frame_sel]
     if color.dtype == jnp.uint8:
         color = color.astype(jnp.float32) / 255.0
     k1, k2 = jax.random.split(key)
@@ -440,9 +447,18 @@ def mapping_step(params, grids, bound, store, est_buf, idx, color, depth,
     window, masks, cams0, cam_lr_mask = prepare_mapping(
         k1, store, color, depth, cur_c2w, grids, bound, camera, mapspec,
         ba, coarse_bound_enlarge)
-    params, grids, cams, losses = map_optimize(
-        params, grids, bound, window, cams0, masks, cam_lr_mask,
-        lr_factor, k2, camera, stage_iters, mapspec, rspec, mspec)
+    if mesh is not None:
+        # ray-data-parallel step: each device renders a disjoint ray
+        # shard, gradients psum over the mesh (parallel/data_parallel.py)
+        from nice_slam_tpu.parallel.data_parallel import dp_map_optimize
+        params, grids, cams, losses = dp_map_optimize(
+            params, grids, bound, window, cams0, masks, cam_lr_mask,
+            lr_factor, k2, camera, stage_iters, mapspec, rspec, mspec,
+            mesh)
+    else:
+        params, grids, cams, losses = map_optimize(
+            params, grids, bound, window, cams0, masks, cam_lr_mask,
+            lr_factor, k2, camera, stage_iters, mapspec, rspec, mspec)
     if ba:
         new_c2w = to_homogeneous(cam_from_tensor(cams))
         kf_mask = (window["valid"]

@@ -181,11 +181,50 @@ def track_frame_step(params, grids, bound, est_buf, idx, gt_color, gt_depth,
     motion model falls back to the previous pose when idx < 2 — same
     behavior as the reference's `if cfg use_const_speed and idx-2>=0`
     (Tracker.py:192-198)."""
-    from nice_slam_tpu.ops import tensor_from_cam, to_homogeneous
-
     key = jax.random.fold_in(key, step_no)
     if gt_color.dtype == jnp.uint8:
         gt_color = gt_color.astype(jnp.float32) / 255.0
+    return _track_step_body(params, grids, bound, est_buf, idx, gt_color,
+                            gt_depth, key, camera, tspec, rspec, mspec)
+
+
+@partial(jax.jit, static_argnames=("camera", "tspec", "rspec", "mspec"),
+         donate_argnums=(3,))
+def track_frames_group(params, grids, bound, est_buf, idx0, gt_colors,
+                       gt_depths, key, step_no, camera: Camera,
+                       tspec: TrackSpec, rspec: RenderSpec,
+                       mspec: ModelSpec):
+    """Track G consecutive frames (idx0 .. idx0+G-1) in ONE dispatch: a
+    lax.scan of track_frame_step bodies, each frame initialized from the
+    previous frame's freshly-written pose in est_buf.  The map is frozen
+    across the group — exactly the strict-schedule semantics (the mapper
+    only runs at group boundaries; SURVEY §3.5).
+
+    gt_colors: (G, H, W, 3) f32 or uint8; gt_depths: (G, H, W).
+    Returns (est_buf, losses (G, 3) [first, last, best])."""
+    G = gt_colors.shape[0]
+    base_key = jax.random.fold_in(key, step_no)
+
+    def body(est, g):
+        idx = idx0 + g
+        color = gt_colors[g]
+        if color.dtype == jnp.uint8:
+            color = color.astype(jnp.float32) / 255.0
+        est, first, last, best = _track_step_body(
+            params, grids, bound, est, idx, color, gt_depths[g],
+            jax.random.fold_in(base_key, g), camera, tspec, rspec, mspec)
+        return est, jnp.stack([first, last, best])
+
+    est_buf, losses = jax.lax.scan(body, est_buf, jnp.arange(G))
+    return est_buf, losses
+
+
+def _track_step_body(params, grids, bound, est_buf, idx, gt_color, gt_depth,
+                     key, camera, tspec, rspec, mspec):
+    """Shared body of track_frame_step / track_frames_group (post-RNG,
+    post-dequantization)."""
+    from nice_slam_tpu.ops import tensor_from_cam, to_homogeneous
+
     pre = est_buf[idx - 1]
     if tspec.const_speed:
         prepre = est_buf[jnp.maximum(idx - 2, 0)]

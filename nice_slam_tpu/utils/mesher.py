@@ -156,6 +156,43 @@ def _component_filter(verts: np.ndarray, tris: np.ndarray,
     return tris[keep]
 
 
+def _imap_normal_colors(params, mspec, grids, bound, verts: np.ndarray,
+                        tris: np.ndarray, chunk: int) -> np.ndarray:
+    """Vertex colors for the iMAP* mode: render a ray from 0.3 m outside
+    each vertex along its (area-weighted) normal back through it and take
+    the composited color (reference Mesher.py:526-553)."""
+    import jax
+
+    from nice_slam_tpu.render import RenderSpec, render_rays
+
+    # area-weighted vertex normals (host)
+    v0, v1, v2 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+    fn = np.cross(v1 - v0, v2 - v0)
+    normals = np.zeros_like(verts)
+    for k in range(3):
+        np.add.at(normals, tris[:, k], fn)
+    nn = np.linalg.norm(normals, axis=1, keepdims=True)
+    normals = normals / np.where(nn == 0, 1.0, nn)
+
+    rspec = RenderSpec(n_samples=24, n_surface=8, occupancy=False)
+    offset = 0.3
+    n = len(verts)
+    pad = (-n) % chunk
+    o_all = np.concatenate([verts + normals * offset,
+                            np.zeros((pad, 3), verts.dtype)])
+    d_all = np.concatenate([-normals, np.ones((pad, 3), verts.dtype)])
+    out = np.zeros((n + pad, 3), np.float32)
+    key = jax.random.PRNGKey(0)
+    gt_d = jnp.full((chunk,), offset)
+    for lo in range(0, n + pad, chunk):
+        col = render_rays(params, mspec, grids, bound,
+                          jnp.asarray(o_all[lo:lo + chunk]),
+                          jnp.asarray(d_all[lo:lo + chunk]), key,
+                          rspec, "color", gt_depth=gt_d)[2]
+        out[lo:lo + chunk] = np.asarray(jax.device_get(col))
+    return (np.clip(out[:n], 0, 1) * 255 + 0.5).astype(np.uint8)
+
+
 def extract_mesh(params, mspec: ModelSpec, grids, bound, mc_bound,
                  camera: Camera, spec: MeshSpec,
                  kf_c2w=None, kf_depth=None, n_keyframes: int = 0,
@@ -252,6 +289,11 @@ def extract_mesh(params, mspec: ModelSpec, grids, bound, mc_bound,
         if spec.forecast and vseen is not None:
             # forecast vertices painted cyan (reference Mesher.py:559-565)
             colors[~vseen] = np.array([0, 255, 255], np.uint8)
+    elif spec.color and not mspec.nice and len(verts):
+        # iMAP*: no color grid — render a short ray along each vertex
+        # normal through the density field (reference Mesher.py:526-553)
+        colors = _imap_normal_colors(params, mspec, grids, bound, verts,
+                                     tris, spec.points_chunk)
 
     if out_path is not None and len(verts):
         import os

@@ -36,6 +36,9 @@ def main():
                     help="skip mesh extraction")
     ap.add_argument("--vis", action="store_true",
                     help="save GT/rendered/residual panels during tracking")
+    ap.add_argument("--profile", type=str, default=None, metavar="LOGDIR",
+                    help="capture an XLA device trace to LOGDIR "
+                         "(view in TensorBoard / xprof)")
     args = ap.parse_args()
 
     from nice_slam_tpu.config import load_config
@@ -74,7 +77,9 @@ def main():
         eng.enable_visualizer()
     if args.resume:
         eng.resume(args.resume)
-    eng.run(n_frames=args.frames, progress=True)
+    from nice_slam_tpu.utils.profiling import xla_trace
+    with xla_trace(args.profile):
+        eng.run(n_frames=args.frames, progress=True)
 
     stats = eng.ate()
     print(json.dumps({"ate_rmse_m": stats["rmse"],

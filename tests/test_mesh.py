@@ -154,3 +154,25 @@ class TestCullMesh:
         c2w2[2, 3] = -3.0   # sphere is behind (+z of camera)
         kept2 = cull(v, t, [c2w2], 64, 64, 40.0, 40.0, 31.5, 31.5)
         assert len(kept2) == 0
+
+
+class TestImapNormalColors:
+    def test_colors_shape_and_range(self):
+        """iMAP* vertex coloring renders along vertex normals
+        (reference Mesher.py:526-553)."""
+        import jax
+        from nice_slam_tpu.models.decoders import imap_model_spec
+        from nice_slam_tpu.state import make_map_state
+        from nice_slam_tpu.utils.mesher import _imap_normal_colors
+
+        mspec = imap_model_spec()
+        state = make_map_state(
+            jax.random.PRNGKey(0), mspec, [[-1.0, 1.0]] * 3,
+            {"coarse": 2.0, "middle": 0.32, "fine": 0.16, "color": 0.16},
+            0.32)
+        vol, origin, spacing = sphere_volume(n=12)
+        verts, tris = marching_tetrahedra(vol, 0.0, origin, spacing)
+        cols = _imap_normal_colors(state.params, mspec, state.grids,
+                                   state.bound, verts, tris, chunk=256)
+        assert cols.shape == (len(verts), 3)
+        assert cols.dtype == np.uint8

@@ -95,3 +95,32 @@ class TestDataParallel:
             (("middle", 1),), specs.mapper, specs.render, specs.model)
         ratio = float(l_dp[0] / l_local[0])
         assert 0.3 * n < ratio < 3.0 * n
+
+
+class TestEngineDataParallel:
+    @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >= 2 devices")
+    def test_engine_runs_with_dp_mapping(self):
+        """tpu.data_parallel wires dp_map_optimize into the engine's
+        mapping step; the SLAM loop must stay finite and on-trajectory."""
+        from nice_slam_tpu.engine import SlamEngine
+
+        cfg = load_config(overrides={
+            "dataset": "synthetic", "synthetic": {"n_frames": 6},
+            "cam": {"H": 40, "W": 52, "fx": 40.0, "fy": 40.0,
+                    "cx": 25.5, "cy": 19.5},
+            "grid_len": GRID_LEN,
+            "mapping": {"bound": [[-0.5, 4.5], [-0.5, 3.5], [-0.5, 4.5]],
+                        "every_frame": 3, "iters_first": 30, "iters": 8,
+                        "pixels": 96, "mapping_window_size": 3,
+                        "keyframe_every": 3, "ckpt_freq": 10000,
+                        "mesh_freq": 10000, "color_refine": False},
+            "tracking": {"iters": 4, "pixels": 64,
+                         "ignore_edge_W": 4, "ignore_edge_H": 4},
+            "rendering": {"N_samples": 10, "N_surface": 5},
+            "tpu": {"seed": 0, "data_parallel": True, "mesh_shape": [2]},
+            "data": {"output": "/tmp/dp_engine_out"}})
+        eng = SlamEngine(cfg, output="/tmp/dp_engine_out")
+        assert eng.mesh is not None and eng.mesh.devices.size == 2
+        eng.run(progress=False)
+        assert np.isfinite(eng.est_c2w[:6]).all()
+        assert np.isfinite(eng.ate()["rmse"])
