@@ -18,6 +18,16 @@ first-frame iters_first x lr_first_factor, keyframe insertion every
 keyframe_every (and at n-2), local BA gated on >4 keyframes, final-frame
 color refinement (window x2, color-only, 5x iters, color decoder frozen,
 frustum selection off), periodic checkpointing, optional meshing hook.
+
+Dispatch discipline (remote-attached TPUs; measured in bench.py): every
+EAGER device op costs a full RPC (~17 ms), deeply queued programs execute
+~4x slower than serially-synced ones, and block_until_ready / fetches of
+donation-aliased buffers do not reliably wait.  Hence: the trajectory is
+device-resident, all per-step glue (RNG fold-in, pose reads/writes,
+keyframe-store updates) runs inside jits, each inter-mapping frame group
+is ONE dispatch (tracking.track_frames_group), a mapping event is ONE
+dispatch (mapping.mapping_step), and every step ends with one
+fresh-buffer scalar fetch as the barrier.
 """
 
 from __future__ import annotations
@@ -119,8 +129,7 @@ class SlamEngine:
         self.tracking_stats: list = []  # device scalars; see stats()
         self.frames_done = 0
         self.timings = {"track": 0.0, "map": 0.0, "coarse_map": 0.0,
-                        "io": 0.0, "prepare": 0.0, "kf_add": 0.0,
-                        "pose_wb": 0.0}
+                        "io": 0.0, "kf_add": 0.0}
 
     def _load_pretrained_decoders(self):
         """Load frozen decoder weights: this repo's npz if present, else

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Scaling harness: one mapping step under each parallel mode at several
+mesh sizes.  On real multi-chip hardware this measures scaling
+efficiency; on the virtual CPU mesh (default here) it validates the
+collective structure end-to-end (virtual devices share host cores, so
+wall times do NOT reflect real scaling).
+
+Usage:
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python tools/bench_scaling.py --iters 4 --pixels 256
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--pixels", type=int, default=256,
+                    help="per-device ray budget")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nice_slam_tpu.config import load_config, specs_from_config
+    from nice_slam_tpu.keyframes import add_keyframe, build_window, make_store
+    from nice_slam_tpu.mapping import grid_masks
+    from nice_slam_tpu.models import nice_model_spec
+    from nice_slam_tpu.ops import tensor_from_cam
+    from nice_slam_tpu.parallel import dp_map_optimize, make_mesh
+    from nice_slam_tpu.parallel.grid_sharded import (
+        gs_map_optimize,
+        make_mesh_2d,
+        shard_grids,
+    )
+    from nice_slam_tpu.state import make_map_state
+
+    n_dev = len(jax.devices())
+    bound = [[-0.5, 4.5], [-0.5, 3.5], [-0.5, 4.5]]
+    grid_len = {"coarse": 1.0, "middle": 0.32, "fine": 0.16, "color": 0.16}
+    cfg = load_config(overrides={
+        "cam": {"H": 120, "W": 160, "fx": 120.0, "fy": 120.0,
+                "cx": 79.5, "cy": 59.5},
+        "grid_len": grid_len,
+        "mapping": {"bound": bound, "pixels": args.pixels,
+                    "mapping_window_size": 4},
+        "rendering": {"N_samples": 24, "N_surface": 12},
+    })
+    specs = specs_from_config(cfg)
+    cam = specs.camera
+    mspec = nice_model_spec()
+    state = make_map_state(jax.random.PRNGKey(0), mspec, bound, grid_len,
+                           0.32)
+
+    store = make_store(6, cam.H, cam.W)
+    eye = jnp.eye(4).at[:3, 3].set(jnp.array([2.0, 1.5, 2.0]))
+    color = jnp.full((cam.H, cam.W, 3), 0.5)
+    depth = jnp.full((cam.H, cam.W), 1.5)
+    for i in range(3):
+        store = add_keyframe(store, color, depth, eye, eye, i)
+    window = build_window(store, jnp.arange(2, dtype=jnp.int32),
+                          jnp.ones((2,), bool), color, depth, eye)
+    masks = grid_masks(state.grids, state.bound, eye, depth, cam, False,
+                       mspec.coarse_bound_enlarge)
+    cams0 = tensor_from_cam(window["c2ws"][:, :3, :])
+    clm = jnp.zeros((window["valid"].shape[0],), jnp.float32)
+    stages = (("middle", args.iters), ("fine", args.iters),
+              ("color", args.iters))
+
+    def timed(fn, reps):
+        out = fn(0)
+        np.asarray(jax.device_get(jax.tree.leaves(out)[0]))
+        t0 = time.perf_counter()
+        for r in range(reps):
+            out = fn(r + 1)
+        np.asarray(jax.device_get(jax.tree.leaves(out)[0]))
+        return (time.perf_counter() - t0) / reps
+
+    results = []
+    sizes = [s for s in (1, 2, 4, 8) if s <= n_dev]
+    for n in sizes:
+        mesh = make_mesh(n)
+        t = timed(lambda r: dp_map_optimize(
+            state.params, state.grids, state.bound, window, cams0, masks,
+            clm, jnp.float32(1.0), jax.random.PRNGKey(r), cam, stages,
+            specs.mapper, specs.render, mspec, mesh)[3], args.reps)
+        results.append({"mode": "ray-dp", "devices": n,
+                        "step_s": round(t, 4),
+                        "rays_per_step": args.pixels * n})
+
+    for n in [s for s in sizes if s >= 2]:
+        mesh2 = make_mesh_2d(max(n // 2, 1), 2)
+        slabs, shapes = shard_grids(state.grids, 2, mesh2)
+        mask_slabs, _ = shard_grids(
+            {k: v for k, v in masks.items() if k != "coarse"}, 2, mesh2)
+        t = timed(lambda r: gs_map_optimize(
+            state.params, slabs, state.bound, window, cams0, mask_slabs,
+            clm, jnp.float32(1.0), jax.random.PRNGKey(r), cam, stages,
+            specs.mapper, specs.render, mspec, shapes, mesh2)[3],
+            args.reps)
+        results.append({"mode": "grid-sharded(data x 2model)",
+                        "devices": n, "step_s": round(t, 4),
+                        "rays_per_step": args.pixels * (n // 2)})
+
+    print(json.dumps({"backend": jax.default_backend(),
+                      "devices": n_dev, "results": results}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
