@@ -90,8 +90,13 @@ def main():
     from nice_slam_tpu.tracking import track_frames_group
 
     groups = []
+    # group/mapping alignment: each group must END on an every_frame
+    # boundary or the measured loop silently degrades to tracking-only
+    assert n_warm % eng.every_frame == 1, \
+        "n_warm must start a fresh frame group (n_warm % every_frame == 1)"
     for lo in range(n_warm, n_frames, eng.every_frame):
         hi = min(lo + eng.every_frame - 1, n_frames - 1)
+        assert hi % eng.every_frame == 0 or hi == n_frames - 1
         colors, depths, gts = eng._load_frames_stacked(lo, hi)
         np.asarray(jax.device_get(colors[0, 0, 0]))
         np.asarray(jax.device_get(depths[0, 0, 0]))

@@ -241,8 +241,6 @@ class SlamSpecs:
 
 def specs_from_config(cfg: dict) -> SlamSpecs:
     nice = bool(cfg["nice"])
-    from nice_slam_tpu.models.decoders import set_matmul_precision
-    set_matmul_precision(cfg["tpu"].get("matmul_precision", "highest"))
     camera = Camera.from_cfg(cfg["cam"])
     model = ModelSpec(
         nice=nice,
@@ -251,6 +249,7 @@ def specs_from_config(cfg: dict) -> SlamSpecs:
         hidden=cfg["model"].get("hidden_size", 32),
         pos_embedding_method=cfg["model"]["pos_embedding_method"],
         coarse_bound_enlarge=cfg["model"]["coarse_bound_enlarge"],
+        matmul_precision=cfg["tpu"].get("matmul_precision", "default"),
     )
     r = cfg["rendering"]
     render = RenderSpec(

@@ -56,7 +56,7 @@ from nice_slam_tpu.mapping import mapping_step
 from nice_slam_tpu.state import make_map_state
 from nice_slam_tpu.tracking import track_frame_step
 from nice_slam_tpu.utils.checkpoint import save_checkpoint
-from nice_slam_tpu.utils.datasets import get_dataset
+from nice_slam_tpu.utils.datasets import get_dataset, quantize_color_u8
 
 
 class SlamEngine:
@@ -189,25 +189,33 @@ class SlamEngine:
         self._est_dev = jnp.asarray(value, jnp.float32)
 
     def stats(self) -> list:
-        """tracking_stats with device scalars materialized (one sync).
-        Entries come in two shapes: per-frame dicts (per-frame path) and
-        {"idxs", "arr"} group records (grouped path); both flatten to
-        per-frame dicts here."""
+        """tracking_stats with device scalars materialized in ONE
+        device_get.  Entries come in two shapes: per-frame dicts
+        (per-frame path) and {"idxs", "arr"} group records (grouped
+        path); both flatten to per-frame dicts here."""
+        pending = [s for s in self.tracking_stats if "first_loss" not in s
+                   or not isinstance(s.get("first_loss"), float)]
+        fetched = jax.device_get([
+            s["arr"] if "idxs" in s
+            else [s["first_loss"], s["last_loss"], s["best_loss"]]
+            for s in pending]) if pending else []
+        vals = iter(fetched)
         out = []
         for s in self.tracking_stats:
             if "idxs" in s:
-                arr = np.asarray(jax.device_get(s["arr"]))
+                arr = np.asarray(next(vals))
                 for i, idx in enumerate(s["idxs"]):
                     out.append({"idx": idx,
                                 "first_loss": float(arr[i, 0]),
                                 "last_loss": float(arr[i, 1]),
                                 "best_loss": float(arr[i, 2])})
-            else:
-                v = np.asarray(jax.device_get(
-                    [s["first_loss"], s["last_loss"], s["best_loss"]]))
+            elif not isinstance(s.get("first_loss"), float):
+                v = np.asarray(next(vals))
                 out.append({"idx": s["idx"], "first_loss": float(v[0]),
                             "last_loss": float(v[1]),
                             "best_loss": float(v[2])})
+            else:
+                out.append(s)
         self.tracking_stats = out
         return self.tracking_stats
 
@@ -217,7 +225,7 @@ class SlamEngine:
         if getattr(self.dataset, "transfer_color_uint8", False):
             # 8-bit-native color crosses the host->device link as uint8
             # (4x less traffic); dequantized inside the jitted steps
-            color = np.clip(color * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            color = quantize_color_u8(color)
         out = (jnp.asarray(color), jnp.asarray(depth), np.asarray(gt_pose))
         self.timings["io"] += time.perf_counter() - t0
         return out
@@ -231,7 +239,7 @@ class SlamEngine:
         for i in range(lo, hi + 1):
             _, c, d, g = self.dataset[i]
             if u8:
-                c = np.clip(c * 255.0 + 0.5, 0, 255).astype(np.uint8)
+                c = quantize_color_u8(c)
             colors.append(c)
             depths.append(d)
             gts.append(np.asarray(g))

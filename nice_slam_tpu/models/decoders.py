@@ -51,6 +51,8 @@ class DecoderSpec:
     concat_feature: bool = False
     embed: str = "fourier"
     no_xyz: bool = False
+    # GEMM precision for the dense blocks (see ModelSpec.matmul_precision)
+    precision: str = "default"
 
 
 @dataclass(frozen=True)
@@ -61,6 +63,13 @@ class ModelSpec:
     hidden: int = 32
     pos_embedding_method: str = "fourier"
     coarse_bound_enlarge: int = 2
+    # Decoder GEMM precision on the MXU: "highest" = 6-pass f32 emulation
+    # (parity with the reference's CUDA f32 GEMMs), "float32" = 3-pass,
+    # "default" = single-pass bf16 inputs / f32 accumulate (MXU-native; a
+    # 3-seed ATE study showed no quality loss).  The Fourier embedding
+    # always stays at "highest" (sin() of O(100) arguments).  Static jit
+    # state — per-engine, unlike a process-global flag.  CPU ignores it.
+    matmul_precision: str = "default"
 
     def decoder_specs(self):
         if not self.nice:
@@ -68,26 +77,30 @@ class ModelSpec:
                 "imap": DecoderSpec(
                     name="imap", c_dim=0, hidden=256, n_blocks=4, skips=(),
                     color=True, embed=self.pos_embedding_method,
+                    precision=self.matmul_precision,
                 )
             }
         specs = {
             "middle": DecoderSpec(
                 name="middle", c_dim=self.c_dim, hidden=self.hidden,
                 embed=self.pos_embedding_method,
+                precision=self.matmul_precision,
             ),
             "fine": DecoderSpec(
                 name="fine", c_dim=self.c_dim * 2, hidden=self.hidden,
                 concat_feature=True, embed=self.pos_embedding_method,
+                precision=self.matmul_precision,
             ),
             "color": DecoderSpec(
                 name="color", c_dim=self.c_dim, hidden=self.hidden,
                 color=True, embed=self.pos_embedding_method,
+                precision=self.matmul_precision,
             ),
         }
         if self.coarse:
             specs["coarse"] = DecoderSpec(
                 name="coarse", c_dim=self.c_dim, hidden=self.hidden,
-                no_xyz=True,
+                no_xyz=True, precision=self.matmul_precision,
             )
         return specs
 
@@ -203,25 +216,8 @@ def init_model(key, spec: ModelSpec):
 # ---------------------------------------------------------------------------
 # Forward
 
-# Decoder GEMM precision: "highest" = 6-pass f32 emulation on the MXU
-# (parity with the reference's CUDA f32 GEMMs), "float32" = 3-pass,
-# "default" = single-pass bf16 inputs / f32 accumulate (MXU native speed).
-# The Fourier embedding always stays at "highest" (sin() of O(100) args).
-# Set via nice_slam_tpu config tpu.matmul_precision or set_matmul_precision.
-_MATMUL_PRECISION = "highest"
-
-
-def set_matmul_precision(p: str) -> None:
-    global _MATMUL_PRECISION
-    assert p in ("highest", "float32", "default")
-    global_changed = _MATMUL_PRECISION != p
-    _MATMUL_PRECISION = p
-    if global_changed:
-        jax.clear_caches()  # precision is baked into traced graphs
-
-
-def _dense(x, layer):
-    prec = None if _MATMUL_PRECISION == "default" else _MATMUL_PRECISION
+def _dense(x, layer, precision: str = "default"):
+    prec = None if precision == "default" else precision
     return jnp.dot(x, layer["w"], precision=prec,
                    preferred_element_type=jnp.float32) + layer["b"]
 
@@ -244,12 +240,12 @@ def apply_mlp(params, spec: DecoderSpec, p: jnp.ndarray, grids, bound,
     e = apply_embedding(params["embed"], p, spec.embed, spec.name)
     h = e
     for i in range(spec.n_blocks):
-        h = jax.nn.relu(_dense(h, params["pts"][i]))
+        h = jax.nn.relu(_dense(h, params["pts"][i], spec.precision))
         if spec.c_dim != 0:
-            h = h + _dense(c, params["fc_c"][i])
+            h = h + _dense(c, params["fc_c"][i], spec.precision)
         if i in spec.skips:
             h = jnp.concatenate([e, h], axis=-1)
-    out = _dense(h, params["out"])
+    out = _dense(h, params["out"], spec.precision)
     return out if spec.color else out[..., 0]
 
 
@@ -262,10 +258,10 @@ def apply_mlp_no_xyz(params, spec: DecoderSpec, p: jnp.ndarray, grids, bound,
         c = trilinear_interp(grids[spec.name], p_nor)
     h = c
     for i in range(spec.n_blocks):
-        h = jax.nn.relu(_dense(h, params["pts"][i]))
+        h = jax.nn.relu(_dense(h, params["pts"][i], spec.precision))
         if i in spec.skips:
             h = jnp.concatenate([c, h], axis=-1)
-    out = _dense(h, params["out"])
+    out = _dense(h, params["out"], spec.precision)
     return out if spec.color else out[..., 0]
 
 
@@ -323,9 +319,6 @@ def _use_fused(spec: ModelSpec, stage: str, fused) -> bool:
 
     if fused is False:
         return False
-    env = os.environ.get("NICE_SLAM_TPU_FUSED", "")
-    if env == "0":
-        return False
     if not (spec.nice and stage in ("fine", "color") and spec.c_dim == 32
             and spec.hidden == 32
             and spec.pos_embedding_method == "fourier"):
@@ -336,6 +329,10 @@ def _use_fused(spec: ModelSpec, stage: str, fused) -> bool:
             return False
     except Exception:  # pragma: no cover
         return False
+    # explicit fused=True outranks the env kill-switch (a test passing
+    # rspec.fused=True must actually exercise the kernel); env=1 opts a
+    # whole process in when the caller left fused=None
+    env = os.environ.get("NICE_SLAM_TPU_FUSED", "")
     if fused is True or env == "1":
         return jax.default_backend() in ("tpu", "axon")
     return False

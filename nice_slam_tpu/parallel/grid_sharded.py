@@ -38,14 +38,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from nice_slam_tpu.camera import Camera
 from nice_slam_tpu.mapping import MapSpec, _lr_tree, _stop_frozen
 from nice_slam_tpu.models.decoders import ModelSpec, model_apply_feats
-from nice_slam_tpu.ops import adam_init, adam_update, cam_from_tensor
+from nice_slam_tpu.ops import adam_init, adam_update
 from nice_slam_tpu.ops.grid import grid_coords, normalize_coords
-from nice_slam_tpu.ops.rays import (
-    gather_pixels,
-    ray_aabb_far,
-    rays_from_uv,
-    sample_pixels,
-)
+from nice_slam_tpu.ops.rays import ray_aabb_far
 from nice_slam_tpu.render import RenderSpec, render_rays
 
 SHARDED_LEVELS = ("middle", "fine", "color")
@@ -215,34 +210,18 @@ def gs_eval_points(params, mspec: ModelSpec, slabs, bound, shapes,
 # ---------------------------------------------------------------------------
 # Sharded mapping optimization
 
-def _gs_window_rays(key, window, cams, camera: Camera, pix_per_frame: int):
-    """Per-device ray sampling (same as mapping._window_rays; the caller
-    folds the data-axis index into `key` so shards draw disjoint rays)."""
-    wn = window["colors"].shape[0]
-    c2ws = cam_from_tensor(cams)
-    keys = jax.random.split(key, wn)
-
-    def per_frame(k, c2w, color, depth):
-        i, j = sample_pixels(k, pix_per_frame, 0, camera.H, 0, camera.W)
-        o, d = rays_from_uv(i, j, c2w, camera.fx, camera.fy, camera.cx,
-                            camera.cy)
-        return o, d, gather_pixels(depth, i, j), gather_pixels(color, i, j)
-
-    o, d, gd, gc = jax.vmap(per_frame)(keys, c2ws, window["colors"],
-                                       window["depths"])
-    valid = jnp.repeat(window["valid"], pix_per_frame)
-    return (o.reshape(-1, 3), d.reshape(-1, 3), gd.reshape(-1),
-            gc.reshape(-1, 3), valid)
-
-
 def gs_mapping_loss(tree, window, bound, shapes, key, camera: Camera,
                     stage: str, mapspec: MapSpec, rspec: RenderSpec,
                     mspec: ModelSpec):
-    """mapping.mapping_loss with sharded-grid decode (NICE mode only)."""
+    """mapping.mapping_loss with sharded-grid decode (NICE mode only).
+    Ray sampling reuses mapping._window_rays (one source of truth for the
+    dense sampler); the data-axis fold makes shards draw disjoint rays."""
+    from nice_slam_tpu.mapping import _window_rays
+
     params, slabs, cams = tree["params"], tree["grids"], tree["cams"]
     pix = mapspec.pixels // window["colors"].shape[0]
     key = jax.random.fold_in(key, jax.lax.axis_index("data"))
-    rays_o, rays_d, gt_d, gt_c, valid = _gs_window_rays(
+    rays_o, rays_d, gt_d, gt_c, valid = _window_rays(
         key, window, cams, camera, pix)
 
     t_exit = ray_aabb_far(jax.lax.stop_gradient(rays_o),

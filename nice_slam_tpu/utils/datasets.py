@@ -22,6 +22,13 @@ except Exception:  # pragma: no cover
     cv2 = None
 
 
+def quantize_color_u8(color: np.ndarray) -> np.ndarray:
+    """f32 [0,1] color -> uint8, round-half-up — the ONE quantization rule
+    for host->device color streaming (keyframes.add_keyframe applies the
+    same rule in-jit for f32 inputs)."""
+    return np.clip(color * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+
 def as_intrinsics_matrix(fx, fy, cx, cy) -> np.ndarray:
     K = np.eye(3)
     K[0, 0], K[1, 1], K[0, 2], K[1, 2] = fx, fy, cx, cy

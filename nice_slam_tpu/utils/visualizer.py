@@ -76,6 +76,9 @@ def make_engine_vis_hook(vis_dir: str, freq: int = 50):
     vis = Visualizer(freq, 1, vis_dir)
 
     def hook(engine, idx, color, depth):
+        if idx % vis.freq != 0:
+            return  # skip BEFORE the trajectory fetch — est_c2w is a
+            # full device_get and would stall every frame on remote chips
         c = np.asarray(color)
         if c.dtype == np.uint8:  # engine may stream color as uint8
             c = c.astype(np.float32) / 255.0
