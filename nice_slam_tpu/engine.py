@@ -70,6 +70,7 @@ class SlamEngine:
         self.output = output or cfg["data"]["output"]
         self.mesher_hook = mesher_hook
         self.vis_hook = vis_hook
+        self._map_vis_hook = None
         self.verbose = bool(cfg.get("verbose", False))
 
         m = cfg["mapping"]
@@ -351,6 +352,9 @@ class SlamEngine:
                           self.lr_first_factor if first else self.lr_factor,
                           ba=False, coarse=True, frame_sel=frame_sel)
 
+        if self._map_vis_hook is not None and color.ndim == 3:
+            self._map_vis_hook(self, idx, color, depth)
+
         if (idx % self.ckpt_freq == 0 and idx > 0) or final:
             self.save(os.path.join(self.output, "ckpts",
                                    f"{idx:05d}.npz"))
@@ -361,13 +365,19 @@ class SlamEngine:
     # -- main loop ---------------------------------------------------------
 
     def enable_visualizer(self):
-        """Attach the residual-panel visualizer using the config's
-        tracking vis_freq (reference src/utils/Visualizer.py usage)."""
+        """Attach the residual-panel visualizers: tracking panels every
+        tracking.vis_freq frames and mapping panels at every
+        mapping.vis_freq-th mapping event, in separate dirs — mirroring
+        the reference's per-worker Visualizer instances
+        (src/Tracker.py:66-68, src/Mapper.py:87-90)."""
         from nice_slam_tpu.utils.visualizer import make_engine_vis_hook
 
         freq = self.cfg["tracking"].get("vis_freq", 50)
         self.vis_hook = make_engine_vis_hook(
             os.path.join(self.output, "tracking_vis"), freq)
+        mfreq = self.cfg["mapping"].get("vis_freq", 50)
+        self._map_vis_hook = make_engine_vis_hook(
+            os.path.join(self.output, "mapping_vis"), mfreq)
         return self
 
     def run(self, n_frames: Optional[int] = None, progress: bool = False):

@@ -156,8 +156,19 @@ def select_keyframes_overlap(key, store: KeyframeStore, gt_color, gt_depth,
     qualify = stored & (percents > 0.0)
     # uniform random top-k over qualifying slots
     scores = jnp.where(qualify, jax.random.uniform(kr, (store.capacity,)), -1.0)
-    _, slots = jax.lax.top_k(scores, k)
+    return _topk_slots(scores, k, store.capacity)
+
+
+def _topk_slots(scores, k: int, capacity: int):
+    """top_k slots by score with k possibly exceeding the store capacity
+    (tiny scenes): the overflow is padded with invalid slots."""
+    k_eff = min(k, capacity)
+    _, slots = jax.lax.top_k(scores, k_eff)
     valid = scores[slots] > 0.0
+    if k_eff < k:
+        slots = jnp.concatenate(
+            [slots, jnp.zeros((k - k_eff,), slots.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((k - k_eff,), bool)])
     return slots.astype(jnp.int32), valid
 
 
@@ -168,9 +179,7 @@ def select_keyframes_global(key, store: KeyframeStore, k: int):
     n_eligible = jnp.maximum(store.count - 1, 0)
     scores = jnp.where(jnp.arange(store.capacity) < n_eligible,
                        jax.random.uniform(key, (store.capacity,)), -1.0)
-    _, slots = jax.lax.top_k(scores, k)
-    valid = scores[slots] > 0.0
-    return slots.astype(jnp.int32), valid
+    return _topk_slots(scores, k, store.capacity)
 
 
 def build_window(store: KeyframeStore, slots, valid, cur_color, cur_depth,

@@ -233,3 +233,36 @@ class TestConfig:
         assert cam.H == 384 - 16 and cam.W == 512 - 16
         assert cam.fx == pytest.approx(517.3 * 512 / 640)
         assert cam.cx == pytest.approx(318.6 * 512 / 640 - 8)
+
+
+class TestTinySceneWindowOverflow:
+    def test_selection_pads_when_window_exceeds_capacity(self):
+        """Window size larger than the keyframe-store capacity (tiny
+        scenes) must pad with invalid slots, not crash top_k."""
+        import jax
+        import jax.numpy as jnp
+
+        from nice_slam_tpu.camera import Camera
+        from nice_slam_tpu.keyframes import (
+            add_keyframe,
+            make_store,
+            select_keyframes_global,
+            select_keyframes_overlap,
+        )
+
+        cam = Camera(H=24, W=32, fx=24.0, fy=24.0, cx=15.5, cy=11.5)
+        store = make_store(3, cam.H, cam.W)
+        eye = jnp.eye(4)
+        color = jnp.full((cam.H, cam.W, 3), 0.5)
+        depth = jnp.full((cam.H, cam.W), 1.0)
+        store = add_keyframe(store, color, depth, eye, eye, 0)
+        store = add_keyframe(store, color, depth, eye, eye, 1)
+
+        for fn in (lambda k: select_keyframes_global(
+                       jax.random.PRNGKey(0), store, k),
+                   lambda k: select_keyframes_overlap(
+                       jax.random.PRNGKey(0), store, color, depth, eye,
+                       cam, k)):
+            slots, valid = fn(8)  # k=8 > capacity=3
+            assert slots.shape == (8,) and valid.shape == (8,)
+            assert not bool(valid[3:].any())

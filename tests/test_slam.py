@@ -152,3 +152,23 @@ class TestImapMode:
         assert np.isfinite(eng.est_c2w[:5]).all()
         stats = eng.ate()
         assert stats["rmse"] < 0.5, stats
+
+
+class TestLooseSyncMode:
+    def test_loose_lags_mapping_and_converges(self):
+        """sync_method loose: the mapper lags the tracker by a
+        deterministic every_frame//2 frames (the reference's bounded
+        asynchrony, Tracker.py:168-175); the pipeline must still map and
+        produce a finite trajectory."""
+        cfg = load_config(overrides={**TEST_CFG,
+                                     "sync_method": "loose",
+                                     "synthetic": {"n_frames": 9},
+                                     "mapping": {**TEST_CFG["mapping"],
+                                                 "iters_first": 40,
+                                                 "iters": 10}})
+        eng = SlamEngine(cfg, output="/tmp/nice_slam_tpu_test_loose")
+        assert eng.map_lag == TEST_CFG["mapping"]["every_frame"] // 2
+        eng.run()
+        assert np.isfinite(eng.est_c2w[:9]).all()
+        assert len(eng.kf_frame_ids) >= 2
+        assert np.isfinite(eng.ate()["rmse"])
