@@ -153,6 +153,9 @@ DEFAULTS: Dict[str, Any] = {
         # strict-mode fast path: track each inter-mapping frame group in
         # ONE dispatch + ONE barrier (engine._run_grouped)
         "grouped_tracking": True,
+        # true tracker/mapper overlap on 2 devices (parallel/pipelined.py);
+        # the TPU analogue of the reference's process parallelism
+        "pipelined": False,
         "data_parallel": False,        # shard mapping rays over the mesh
         "mesh_shape": None,            # e.g. [8] -> ('data',) mesh
         "keyframe_capacity": None,     # default: n_img//keyframe_every + 4

@@ -71,6 +71,7 @@ class SlamEngine:
         self.mesher_hook = mesher_hook
         self.vis_hook = vis_hook
         self._map_vis_hook = None
+        self._map_barrier = True  # pipelined engine turns this off
         self.verbose = bool(cfg.get("verbose", False))
 
         m = cfg["mapping"]
@@ -297,9 +298,11 @@ class SlamEngine:
             float(lr_factor), self._key_base, self._next_step(),
             s.camera, stage_iters, mapspec, s.render, s.model, ba,
             s.model.coarse_bound_enlarge, self.mesh)
-        # fresh-buffer fetch = reliable step barrier (see track());
-        # losses is a fresh (n_iters,) array, no eager slice op needed
-        np.asarray(jax.device_get(losses))
+        # fresh-buffer fetch = reliable step barrier (see track()); the
+        # pipelined engine disables it so its mapping events overlap the
+        # next tracking group on the other device
+        if self._map_barrier:
+            np.asarray(jax.device_get(losses))
         self.timings["coarse_map" if coarse else "map"] += \
             time.perf_counter() - t0
         return losses

@@ -1,0 +1,164 @@
+"""Pipelined tracker/mapper: TRUE overlap on two devices.
+
+The reference's `loose`/`free` sync modes run the tracker and mapper as
+concurrent OS processes around shared-memory tensors
+(src/NICE_SLAM.py:288-307, src/Tracker.py:161-175); the single-device
+engine emulates them with a deterministic mapping lag.  This engine makes
+the overlap REAL on TPU: the tracker owns one device, the mapper another,
+and JAX's async dispatch runs both simultaneously — the analogue of the
+reference's process parallelism, with device_put snapshots playing the
+role of `update_para_from_mapping` (Tracker.py:130-142).
+
+Schedule (one mapping event of lag, like `loose`):
+
+    map(0) on M;  snapshot -> T
+    for each frame group [b_prev+1 .. b]:
+        track the group on T with the CURRENT snapshot     (device T)
+        pull the PREVIOUS event's map + BA pose            (M -> T copy)
+        enqueue mapping event for frame b                  (device M)
+    drain the final event; final snapshot
+
+The tracker therefore uses a map that lags by exactly one mapping event —
+the same staleness bound as the reference's loose gate
+(mapping_idx >= idx - every_frame*3/2), but deterministic.
+
+On a real pod the M->T snapshot rides ICI; on single-chip rigs this
+engine still runs (both "devices" are the same chip — it degrades to the
+sequential schedule).  Validated on the virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nice_slam_tpu.engine import SlamEngine
+from nice_slam_tpu.tracking import track_frames_group
+
+
+class PipelinedSlamEngine(SlamEngine):
+    """Two-device tracker/mapper pipeline.  Use via
+    cfg['tpu']['pipelined']=true (run.py picks this class) or directly.
+
+    Restrictions: strict/loose scheduling only (the mapping lag is one
+    event), no per-frame vis hook (tracking is grouped)."""
+
+    def __init__(self, cfg: dict, dataset=None,
+                 output: Optional[str] = None, mesher_hook=None,
+                 devices=None):
+        super().__init__(cfg, dataset=dataset, output=output,
+                         mesher_hook=mesher_hook)
+        devs = devices if devices is not None else jax.devices()
+        self.dev_track = devs[0]
+        self.dev_map = devs[1] if len(devs) > 1 else devs[0]
+        # canonical map state lives on the mapping device; the tracker
+        # works from a snapshot on its own device
+        self.map_state.params = jax.device_put(self.map_state.params,
+                                               self.dev_map)
+        self.map_state.grids = jax.device_put(self.map_state.grids,
+                                              self.dev_map)
+        self.store = jax.device_put(self.store, self.dev_map)
+        self._est_dev = jax.device_put(self._est_dev, self.dev_track)
+        self._params_t = jax.device_put(self.map_state.params,
+                                        self.dev_track)
+        self._grids_t = jax.device_put(self.map_state.grids, self.dev_track)
+        # mapping events must NOT block the host: the next tracking group
+        # overlaps them on the other device (engine.map_once honors this)
+        self._map_barrier = False
+
+    def _snapshot(self, idx: Optional[int]):
+        """Pull the mapper's latest params/grids to the tracking device
+        (the analogue of Tracker.update_para_from_mapping) and fold the
+        BA-refined pose for `idx` back into the tracker's trajectory."""
+        self._params_t = jax.device_put(self.map_state.params,
+                                        self.dev_track)
+        self._grids_t = jax.device_put(self.map_state.grids, self.dev_track)
+        if idx is not None:
+            row = jax.device_put(self.map_state_est_row(idx),
+                                 self.dev_track)
+            self._est_dev = self._set_pose(self._est_dev, idx, row)
+
+    def map_state_est_row(self, idx: int):
+        return self._est_m[idx]
+
+    def run(self, n_frames: Optional[int] = None, progress: bool = False):
+        n = min(n_frames or self.n_img, self.n_img)
+        s = self.specs
+        assert self.vis_hook is None, \
+            "pipelined engine tracks in groups; use the sequential engine " \
+            "for per-frame vis"
+
+        # frame 0: first mapping event on M, then snapshot
+        color, depth, gt_pose = self._load_frame(0)
+        color_m = jax.device_put(color, self.dev_map)
+        depth_m = jax.device_put(depth, self.dev_map)
+        self.gt_c2w[0] = gt_pose
+        self._est_dev = self._set_pose(self._est_dev, 0, gt_pose)
+        self._est_m = jax.device_put(self._est_dev, self.dev_map)
+        self.mapping_event(0, color_m, depth_m, gt_pose, first=True)
+        self._est_m = self._est_dev_map_side()
+        self._snapshot(None)
+        self.frames_done = 1
+
+        cur = 1
+        prev_event = None  # frame idx of the in-flight mapping event
+        while cur < n:
+            g_end = min(((cur - 1) // self.every_frame + 1)
+                        * self.every_frame, n - 1)
+            colors, depths, gts = self._load_frames_stacked(cur, g_end)
+            self.gt_c2w[cur:g_end + 1] = gts
+
+            # 1) track the group on T against the CURRENT (stale) snapshot
+            t0 = time.perf_counter()
+            self._est_dev, losses_t = track_frames_group(
+                self._params_t, self._grids_t, self.bound,
+                self._est_dev, cur, colors, depths, self._key_base,
+                self._next_step(), s.camera, s.track, s.render, s.model)
+            self.tracking_stats.append(
+                {"idxs": list(range(cur, g_end + 1)), "arr": losses_t})
+
+            # 2) the PREVIOUS event finished on M while we tracked: pull it
+            if prev_event is not None:
+                self._snapshot(prev_event)
+            np.asarray(jax.device_get(losses_t))  # group barrier on T
+            self.timings["track"] += time.perf_counter() - t0
+
+            # 3) enqueue THIS boundary's mapping event on M
+            if g_end % self.every_frame == 0 or g_end == n - 1:
+                self._est_m = jax.device_put(self._est_dev, self.dev_map)
+                cm = jax.device_put(colors, self.dev_map)
+                dm = jax.device_put(depths, self.dev_map)
+                self.mapping_event(g_end, cm, dm, gts[-1],
+                                   frame_sel=g_end - cur)
+                self._est_m = self._est_dev_map_side()
+                prev_event = g_end
+
+            self.frames_done = g_end + 1
+            cur = g_end + 1
+
+        if prev_event is not None:
+            self._snapshot(prev_event)
+        return self
+
+    # -- map-side trajectory plumbing ---------------------------------------
+    #
+    # SlamEngine.mapping_event reads/writes self._est_dev; on this engine
+    # the mapper must use the MAP-side copy.  Swap it in around the call.
+
+    def mapping_event(self, idx, color, depth, gt_pose, first=False,
+                      frame_sel=0):
+        est_t = self._est_dev
+        self._est_dev = self._est_m
+        try:
+            super().mapping_event(idx, color, depth, gt_pose, first=first,
+                                  frame_sel=frame_sel)
+        finally:
+            self._est_m = self._est_dev
+            self._est_dev = est_t
+
+    def _est_dev_map_side(self):
+        return self._est_m

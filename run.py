@@ -72,7 +72,11 @@ def main():
         except ImportError:
             pass
 
-    eng = SlamEngine(cfg, mesher_hook=mesher_hook)
+    if cfg["tpu"].get("pipelined"):
+        from nice_slam_tpu.parallel.pipelined import PipelinedSlamEngine
+        eng = PipelinedSlamEngine(cfg, mesher_hook=mesher_hook)
+    else:
+        eng = SlamEngine(cfg, mesher_hook=mesher_hook)
     if args.vis:
         eng.enable_visualizer()
     if args.resume:

@@ -124,3 +124,37 @@ class TestEngineDataParallel:
         eng.run(progress=False)
         assert np.isfinite(eng.est_c2w[:6]).all()
         assert np.isfinite(eng.ate()["rmse"])
+
+
+class TestPipelinedEngine:
+    @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >= 2 devices")
+    def test_two_device_overlap_converges(self):
+        """Pipelined tracker/mapper on two devices: the tracker uses a
+        one-event-stale map snapshot (the reference's loose semantics as
+        TRUE device overlap); the trajectory must stay finite and close
+        to GT on the synthetic scene."""
+        from nice_slam_tpu.parallel.pipelined import PipelinedSlamEngine
+
+        cfg = load_config(overrides={
+            "dataset": "synthetic", "synthetic": {"n_frames": 9},
+            "cam": {"H": 48, "W": 64, "fx": 48.0, "fy": 48.0,
+                    "cx": 31.5, "cy": 23.5},
+            "grid_len": GRID_LEN,
+            "mapping": {"bound": [[-0.5, 4.5], [-0.5, 3.5], [-0.5, 4.5]],
+                        "every_frame": 3, "iters_first": 60, "iters": 12,
+                        "pixels": 200, "mapping_window_size": 3,
+                        "keyframe_every": 3, "ckpt_freq": 10000,
+                        "mesh_freq": 10000, "color_refine": False},
+            "tracking": {"iters": 6, "pixels": 100,
+                         "ignore_edge_W": 4, "ignore_edge_H": 4},
+            "rendering": {"N_samples": 14, "N_surface": 7},
+            "tpu": {"seed": 0},
+            "data": {"output": "/tmp/pipe_out"}})
+        eng = PipelinedSlamEngine(cfg, output="/tmp/pipe_out",
+                                  devices=jax.devices()[:2])
+        assert eng.dev_track != eng.dev_map
+        eng.run(progress=False)
+        assert np.isfinite(eng.est_c2w[:9]).all()
+        rmse = eng.ate()["rmse"]
+        assert np.isfinite(rmse) and rmse < 0.5, rmse
+        assert len(eng.kf_frame_ids) >= 3
