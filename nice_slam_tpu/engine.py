@@ -183,8 +183,12 @@ class SlamEngine:
 
     @property
     def est_c2w(self) -> np.ndarray:
-        """Host view of the device-resident trajectory (forces a sync)."""
-        return np.asarray(jax.device_get(self._est_dev))
+        """Host view of the device-resident trajectory (forces a sync).
+
+        The buffer is donation-aliased (track steps write it in place);
+        fetching it directly can return stale contents on remote backends
+        — fetch through a fresh derived buffer instead."""
+        return np.asarray(jax.device_get(self._est_dev + 0.0))
 
     @est_c2w.setter
     def est_c2w(self, value):
@@ -476,6 +480,12 @@ class SlamEngine:
         return self
 
     def save(self, path: str):
+        # barrier before fetching: params/grids/store are donation-aliased
+        # buffers (mapping_step updates them in place) — a fresh-op fetch
+        # guarantees in-flight mapping work has landed before the dump
+        leaves = (jax.tree.leaves(self.map_state.grids)
+                  or jax.tree.leaves(self.map_state.params))  # iMAP: no grids
+        np.asarray(jax.device_get(jnp.sum(leaves[0][:1])))
         save_checkpoint(
             path, self.map_state.params, self.map_state.grids,
             self.bound, self.est_c2w, self.gt_c2w, self.store,
