@@ -131,6 +131,12 @@ DEFAULTS: Dict[str, Any] = {
         "N_importance": 0,
         "lindisp": False,
         "perturb": 0.0,
+        # occupancy-guided stratified sampling (EXPERIMENTAL, keep off):
+        # concentrates the same N_samples where the map is occupied.
+        # Measured to DEGRADE SLAM quality (39-72 cm vs 7 cm baseline ATE
+        # on the synthetic scene): the depth loss needs free-space samples
+        # to carve empty space.  See ops/sampling.py:occ_guided_zvals.
+        "occupancy_guided": False,
     },
     "data": {"dim": 3, "input_folder": None, "output": "output/run"},
     "model": {
@@ -259,6 +265,7 @@ def specs_from_config(cfg: dict) -> SlamSpecs:
         n_samples=r["N_samples"], n_surface=r["N_surface"],
         n_importance=r["N_importance"], lindisp=r["lindisp"],
         perturb=r["perturb"], occupancy=bool(cfg["occupancy"]),
+        occ_guided=bool(r.get("occupancy_guided", False)),
     )
     t = cfg["tracking"]
     track = TrackSpec(

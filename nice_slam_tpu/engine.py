@@ -113,7 +113,8 @@ class SlamEngine:
         self._step_no = 0
         self.map_state = make_map_state(
             kstate, self.specs.model, m["bound"], cfg["grid_len"],
-            cfg["grid_len"]["bound_divisible"])
+            cfg["grid_len"]["bound_divisible"],
+            occ_guided=self.specs.render.occ_guided)
         self._load_pretrained_decoders()
 
         cap = cfg["tpu"].get("keyframe_capacity") or (

@@ -158,7 +158,7 @@ def grid_masks(grids, bound, c2w, depth, camera: Camera, enabled: bool,
     optimizable (Mapper.py:113-115)."""
     masks = {}
     for name, g in grids.items():
-        if not enabled or name == "coarse":
+        if not enabled or name in ("coarse", "occ_proxy"):
             masks[name] = jnp.ones(g.shape[:3] + (1,), g.dtype)
         else:
             m = frustum_mask(bound, g.shape[:3], c2w, depth, camera)
@@ -310,11 +310,14 @@ def _lr_tree(tree, stage: str, mapspec: MapSpec, lr_factor, cam_lr_mask,
     leaves are structurally excluded from backward + Adam."""
     table = mapspec.stage_lr_table()[stage] if mapspec.nice else None
     if mapspec.nice:
+        # unknown grid names (e.g. the occ_proxy sampling grid) are frozen
         grid_lrs = {"coarse": table.coarse, "middle": table.middle,
                     "fine": table.fine, "color": table.color}
-        grids_lr = {n: jax.tree.map(lambda _: grid_lrs[n] * lr_factor, g)
+        grids_lr = {n: jax.tree.map(
+                        lambda _: grid_lrs.get(n, 0.0) * lr_factor, g)
                     for n, g in tree["grids"].items()}
-        grids_frozen = {n: jax.tree.map(lambda _: grid_lrs[n] == 0.0, g)
+        grids_frozen = {n: jax.tree.map(
+                            lambda _: grid_lrs.get(n, 0.0) == 0.0, g)
                         for n, g in tree["grids"].items()}
         dec_lr_tree, dec_frozen = _decoder_lr_tree(
             tree["params"], mapspec, table.decoders * lr_factor,
@@ -467,4 +470,26 @@ def mapping_step(params, grids, bound, store, est_buf, idx, color, depth,
         store = update_poses(store, jnp.maximum(window["slots"], 0),
                              new_c2w, kf_mask)
         est_buf = est_buf.at[idx].set(new_c2w[-1])
+    if mapspec.nice and not mapspec.coarse_mapper and "occ_proxy" in grids:
+        grids = dict(grids)
+        grids["occ_proxy"] = refresh_occ_proxy(params, grids, bound, mspec)
     return params, grids, store, est_buf, losses
+
+
+def refresh_occ_proxy(params, grids, bound, mspec: ModelSpec):
+    """Re-decode the occupancy proxy at its cell centers from the current
+    map ('fine' stage = middle+fine occupancy) — one cheap decode per
+    mapping event that steers occupancy-guided ray sampling
+    (ops.sampling.occ_guided_zvals)."""
+    from nice_slam_tpu.models.decoders import model_apply
+
+    shape = grids["occ_proxy"].shape[:3]
+    xs = jnp.linspace(bound[0, 0], bound[0, 1], shape[0])
+    ys = jnp.linspace(bound[1, 0], bound[1, 1], shape[1])
+    zs = jnp.linspace(bound[2, 0], bound[2, 1], shape[2])
+    X, Y, Z = jnp.meshgrid(xs, ys, zs, indexing="ij")
+    pts = jnp.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+    raw = model_apply(params, mspec, grids, bound, pts, "fine",
+                      train_decoders=False)
+    occ = jax.nn.sigmoid(10.0 * raw[..., 3]).reshape(shape + (1,))
+    return jax.lax.stop_gradient(occ)

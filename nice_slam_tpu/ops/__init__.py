@@ -24,6 +24,7 @@ from nice_slam_tpu.ops.sampling import (
     perturb_zvals,
     surface_zvals,
     sample_pdf,
+    occ_guided_zvals,
 )
 from nice_slam_tpu.ops.composite import raw2outputs
 from nice_slam_tpu.ops.grid import normalize_coords, trilinear_interp

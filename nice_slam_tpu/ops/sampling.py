@@ -44,6 +44,39 @@ def surface_zvals(gt_depth: jnp.ndarray, n_surface: int, max_depth):
     return jnp.where(d > 0, z_surf, jnp.broadcast_to(z_hole, z_surf.shape))
 
 
+def occ_guided_zvals(rays_o, rays_d, near, far, occ_proxy, bound, n: int,
+                     n_probe: int = 32, floor: float = 0.05):
+    """Occupancy-guided stratified sampling (static-shape NerfAcc-style
+    placement; see PAPERS.md): probe a cheap occupancy proxy grid at
+    n_probe uniform bin centers along each ray, then place the SAME n
+    samples by deterministic inverse-CDF over the (floored) per-bin
+    occupancy — samples concentrate where matter can be, empty space gets
+    the floor share.  Shapes stay static: this reallocates samples, never
+    drops them.
+
+    EXPERIMENTAL — measured to DEGRADE depth-supervised SLAM (39-72 cm vs
+    7 cm baseline ATE on the 40-frame synthetic scene): the L1 depth loss
+    relies on free-space samples to carve emptiness; starving them leaves
+    floaters that derail tracking.  Off by default; see README.
+
+    occ_proxy: (Nx, Ny, Nz, 1) in [0, 1] (stop-gradient applied here —
+    the proxy steers sampling, it is not a trainable quantity).
+    Returns (N, n) sorted z values in [near, far]."""
+    from nice_slam_tpu.ops.grid import normalize_coords, trilinear_interp
+
+    occ_proxy = jax.lax.stop_gradient(occ_proxy)
+    edges = stratified_zvals(near, far, n_probe + 1)       # (N, P+1)
+    mids = 0.5 * (edges[..., 1:] + edges[..., :-1])        # (N, P)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * mids[..., None]
+    pn = normalize_coords(pts.reshape(-1, 3), bound)
+    w = trilinear_interp(occ_proxy, pn)[..., 0].reshape(mids.shape)
+    w = jnp.clip(w, floor, 1.0)
+    # interior-weight layout expected by sample_pdf (bins = midpoints)
+    w_in = 0.5 * (w[..., 1:] + w[..., :-1])
+    z = sample_pdf(None, mids, w_in, n, det=True)
+    return z
+
+
 def sample_pdf(key, bins: jnp.ndarray, weights: jnp.ndarray, n: int, det: bool = False):
     """Hierarchical inverse-CDF sampling (reference src/common.py:19-63).
 

@@ -42,6 +42,11 @@ class RenderSpec:
     lindisp: bool = False
     perturb: float = 0.0
     occupancy: bool = True
+    # occupancy-guided stratified sampling (ops.sampling.occ_guided_zvals):
+    # concentrates the SAME n_samples where the map's occupancy proxy is
+    # high — a static-shape quality-per-sample accelerator (enables lower
+    # n_samples budgets at equal ATE).  Needs grids["occ_proxy"].
+    occ_guided: bool = False
     # fused Pallas decode control (models/decoders.py:_use_fused):
     # None = auto (TPU + matching dims), True/False force.  train_decoders
     # False prunes decoder weight grads from the fused backward (set by
@@ -63,7 +68,7 @@ def eval_points(params, mspec: ModelSpec, grids, bound, p: jnp.ndarray,
 
 
 def _zvals(key, rays_o, rays_d, gt_depth, bound, rspec: RenderSpec,
-           with_depth: bool):
+           with_depth: bool, occ_proxy=None):
     """Sample depths along each ray.  Returns (N, S) sorted z values."""
     far_bb = ray_aabb_far(jax.lax.stop_gradient(rays_o),
                           jax.lax.stop_gradient(rays_d), bound)[:, None] + 0.01
@@ -77,7 +82,12 @@ def _zvals(key, rays_o, rays_d, gt_depth, bound, rspec: RenderSpec,
         near = jnp.full_like(far_bb, 0.01)
         far = far_bb
 
-    z_vals = stratified_zvals(near, far, rspec.n_samples, rspec.lindisp)
+    if occ_proxy is not None:
+        from nice_slam_tpu.ops import occ_guided_zvals
+        z_vals = occ_guided_zvals(rays_o, rays_d, near, far, occ_proxy,
+                                  bound, rspec.n_samples)
+    else:
+        z_vals = stratified_zvals(near, far, rspec.n_samples, rspec.lindisp)
     if rspec.perturb > 0.0:
         key, kp = jax.random.split(key)
         z_vals = perturb_zvals(kp, z_vals)
@@ -112,8 +122,12 @@ def render_rays(params, mspec: ModelSpec, grids, bound,
                                train_decoders=rspec.train_decoders)
 
     with_depth = gt_depth is not None and stage != "coarse"
+    occ_proxy = (grids.get("occ_proxy")
+                 if (rspec.occ_guided and stage != "coarse"
+                     and isinstance(grids, dict)) else None)
     z_vals = _zvals(key, rays_o, rays_d,
-                    gt_depth if with_depth else None, bound, rspec, with_depth)
+                    gt_depth if with_depth else None, bound, rspec,
+                    with_depth, occ_proxy=occ_proxy)
 
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     n, s, _ = pts.shape

@@ -57,11 +57,19 @@ class MapState:
         return {"params": self.params, "grids": self.grids}
 
 
-def make_map_state(key, spec: ModelSpec, bound, grid_len, bound_divisible: float):
+def make_map_state(key, spec: ModelSpec, bound, grid_len, bound_divisible: float,
+                   occ_guided: bool = False):
     bound = pad_bound(bound, bound_divisible)
     kg, km = jax.random.split(key)
     grids = (init_grids(kg, bound, grid_len, spec.c_dim, spec.coarse,
                         spec.coarse_bound_enlarge) if spec.nice else {})
+    if occ_guided and spec.nice:
+        # non-trainable occupancy proxy for occupancy-guided ray sampling
+        # (render.py); middle-grid resolution, init=1 (uniform sampling
+        # until the first mapping refresh).  Lives in the grids dict so it
+        # rides every pytree path; frozen by _lr_tree / zero-masked.
+        nx, ny, nz = grid_shape_for_bound(bound, grid_len["middle"], 1)
+        grids["occ_proxy"] = jnp.ones((nx, ny, nz, 1), jnp.float32)
     params = init_model(km, spec)
     return MapState(params=params, grids=grids,
                     bound=jnp.asarray(bound, jnp.float32))
