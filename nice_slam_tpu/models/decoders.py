@@ -106,10 +106,12 @@ class ModelSpec:
 
 
 def nice_model_spec(c_dim=32, hidden=32, coarse=True, pos_embedding_method="fourier",
-                    coarse_bound_enlarge=2) -> ModelSpec:
+                    coarse_bound_enlarge=2,
+                    matmul_precision="default") -> ModelSpec:
     return ModelSpec(nice=True, coarse=coarse, c_dim=c_dim, hidden=hidden,
                      pos_embedding_method=pos_embedding_method,
-                     coarse_bound_enlarge=coarse_bound_enlarge)
+                     coarse_bound_enlarge=coarse_bound_enlarge,
+                     matmul_precision=matmul_precision)
 
 
 def imap_model_spec(pos_embedding_method="fourier") -> ModelSpec:

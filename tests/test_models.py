@@ -126,7 +126,10 @@ class TestTorchEquivalence:
         return out.numpy()
 
     def test_fine_decoder_matches_torch(self, state):
-        spec = nice_model_spec().decoder_specs()["fine"]
+        # golden math test vs an f64-capable oracle: pin parity precision
+        # (the default bf16 MXU GEMMs would fail a 1e-4 tolerance on TPU)
+        spec = nice_model_spec(
+            matmul_precision="highest").decoder_specs()["fine"]
         rng = np.random.RandomState(0)
         p = rng.uniform(-1.8, 1.8, (50, 3)).astype(np.float32)
         ours = apply_mlp(state.params["fine"], spec, jnp.asarray(p),
@@ -139,7 +142,8 @@ class TestTorchEquivalence:
         np.testing.assert_allclose(np.asarray(ours), expect, atol=1e-4)
 
     def test_color_decoder_matches_torch(self, state):
-        spec = nice_model_spec().decoder_specs()["color"]
+        spec = nice_model_spec(
+            matmul_precision="highest").decoder_specs()["color"]
         rng = np.random.RandomState(1)
         p = rng.uniform(-1.5, 1.5, (30, 3)).astype(np.float32)
         ours = apply_mlp(state.params["color"], spec, jnp.asarray(p),

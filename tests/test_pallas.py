@@ -145,3 +145,42 @@ class TestKernelOnTpu:
         ref = fd.reference_nice_decode(True, p, f[0], f[1], f[2], *ws)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=5e-3)
+
+    def test_bwd_matches_autodiff_of_reference(self, setup):
+        """The backward kernel (hand-derived VJP + cross-tile weight-grad
+        accumulation) must match autodiff of the jnp reference."""
+        params, ws = setup
+        N = 700
+        p = jax.random.uniform(jax.random.PRNGKey(3), (N, 3),
+                               minval=-2, maxval=2)
+        f = jax.random.normal(jax.random.PRNGKey(4), (3, N, 32)) * 0.1
+        cot = jax.random.normal(jax.random.PRNGKey(5), (N, 4))
+
+        def loss_fused(p_, cm, cf, cc, *w):
+            return jnp.sum(
+                fd.fused_nice_decode(True, True, p_, cm, cf, cc, *w) * cot)
+
+        def loss_ref(p_, cm, cf, cc, *w):
+            return jnp.sum(
+                fd.reference_nice_decode(True, p_, cm, cf, cc, *w) * cot)
+
+        nargs = 4 + len(ws)
+        g_fused = jax.grad(loss_fused, argnums=tuple(range(nargs)))(
+            p, f[0], f[1], f[2], *ws)
+        g_ref = jax.grad(loss_ref, argnums=tuple(range(nargs)))(
+            p, f[0], f[1], f[2], *ws)
+        # the backward kernel RECOMPUTES activations at kernel (MXU)
+        # precision; near-zero pre-activations can flip their ReLU mask vs
+        # the reference forward, perturbing individual elements.  The
+        # meaningful contract for an SGD gradient is direction + scale:
+        # require near-perfect cosine similarity and matched norms.
+        for i, (a, b) in enumerate(zip(g_fused, g_ref)):
+            a = np.asarray(a).ravel().astype(np.float64)
+            b = np.asarray(b).ravel().astype(np.float64)
+            nb = np.linalg.norm(b)
+            if nb < 1e-6:
+                assert np.linalg.norm(a) < 1e-4, i
+                continue
+            cos = float(a @ b / (np.linalg.norm(a) * nb + 1e-30))
+            assert cos > 0.999, (i, cos)
+            assert abs(np.linalg.norm(a) / nb - 1.0) < 0.02, i
