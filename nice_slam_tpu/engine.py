@@ -372,20 +372,24 @@ class SlamEngine:
 
     # -- main loop ---------------------------------------------------------
 
-    def enable_visualizer(self):
+    def enable_visualizer(self, mapping_only: bool = False):
         """Attach the residual-panel visualizers: tracking panels every
-        tracking.vis_freq frames and mapping panels at every
-        mapping.vis_freq-th mapping event, in separate dirs — mirroring
+        tracking.vis_freq frames and mapping panels every
+        mapping.vis_freq-th mapping EVENT, in separate dirs — mirroring
         the reference's per-worker Visualizer instances
-        (src/Tracker.py:66-68, src/Mapper.py:87-90)."""
+        (src/Tracker.py:66-68, src/Mapper.py:87-90).  mapping_only skips
+        the per-frame tracking hook (the pipelined engine tracks in
+        groups and cannot host it)."""
         from nice_slam_tpu.utils.visualizer import make_engine_vis_hook
 
-        freq = self.cfg["tracking"].get("vis_freq", 50)
-        self.vis_hook = make_engine_vis_hook(
-            os.path.join(self.output, "tracking_vis"), freq)
+        if not mapping_only:
+            freq = self.cfg["tracking"].get("vis_freq", 50)
+            self.vis_hook = make_engine_vis_hook(
+                os.path.join(self.output, "tracking_vis"), freq)
         mfreq = self.cfg["mapping"].get("vis_freq", 50)
         self._map_vis_hook = make_engine_vis_hook(
-            os.path.join(self.output, "mapping_vis"), mfreq)
+            os.path.join(self.output, "mapping_vis"), mfreq,
+            by_call_count=True)
         return self
 
     def run(self, n_frames: Optional[int] = None, progress: bool = False):
@@ -428,14 +432,36 @@ class SlamEngine:
             self.frames_done = idx + 1
         return self
 
+    def _track_group(self, cur: int, g_end: int, colors, depths,
+                     params=None, grids=None):
+        """Track frames cur..g_end in ONE dispatch against (params, grids)
+        — default: the canonical map state (the pipelined engine passes
+        its tracking-device snapshot).  Appends the group's loss record
+        and returns the losses handle (the caller owns the barrier)."""
+        from nice_slam_tpu.tracking import track_frames_group
+
+        s = self.specs
+        self._est_dev, losses = track_frames_group(
+            self.map_state.params if params is None else params,
+            self.map_state.grids if grids is None else grids,
+            self.bound, self._est_dev, cur, colors, depths,
+            self._key_base, self._next_step(), s.camera, s.track,
+            s.render, s.model)
+        self.tracking_stats.append(
+            {"idxs": list(range(cur, g_end + 1)), "arr": losses})
+        return losses
+
+    @staticmethod
+    def group_end(cur: int, every_frame: int, n: int) -> int:
+        """Last frame of the group starting at `cur`: the next every_frame
+        boundary, capped at the final frame."""
+        return min(((cur - 1) // every_frame + 1) * every_frame, n - 1)
+
     def _run_grouped(self, n: int, progress: bool = False):
         """Strict-schedule fast path: every inter-mapping frame group is
         tracked in ONE dispatch (tracking.track_frames_group) and its
         uploaded frame stack is reused by the mapping event in-jit — one
         device barrier per group instead of per frame."""
-        from nice_slam_tpu.tracking import track_frames_group
-
-        s = self.specs
         bar = None
         if progress:
             try:
@@ -454,20 +480,14 @@ class SlamEngine:
 
         cur = 1
         while cur < n:
-            g_end = min(((cur - 1) // self.every_frame + 1)
-                        * self.every_frame, n - 1)
+            g_end = self.group_end(cur, self.every_frame, n)
             colors, depths, gts = self._load_frames_stacked(cur, g_end)
             self.gt_c2w[cur:g_end + 1] = gts
 
             t0 = time.perf_counter()
-            self._est_dev, losses = track_frames_group(
-                self.map_state.params, self.map_state.grids, self.bound,
-                self._est_dev, cur, colors, depths, self._key_base,
-                self._next_step(), s.camera, s.track, s.render, s.model)
+            losses = self._track_group(cur, g_end, colors, depths)
             np.asarray(jax.device_get(losses))  # group barrier (fresh buf)
             self.timings["track"] += time.perf_counter() - t0
-            self.tracking_stats.append(
-                {"idxs": list(range(cur, g_end + 1)), "arr": losses})
 
             if g_end == n - 1 or g_end % self.every_frame == 0:
                 self.mapping_event(g_end, colors, depths, gts[-1],

@@ -126,6 +126,18 @@ def bilinear_sample_2d(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
             + i10 * (1 - fx) * fy + i11 * fx * fy)
 
 
+def grid_node_points(bound, shape: Tuple[int, int, int]) -> jnp.ndarray:
+    """World positions of a grid's nodes: align-corners linspace over the
+    AABB per axis — the SAME convention trilinear_interp reads at
+    (ops/grid.py grid_coords).  Returns (Nx*Ny*Nz, 3)."""
+    nx, ny, nz = shape
+    xs = jnp.linspace(bound[0, 0], bound[0, 1], nx)
+    ys = jnp.linspace(bound[1, 0], bound[1, 1], ny)
+    zs = jnp.linspace(bound[2, 0], bound[2, 1], nz)
+    X, Y, Z = jnp.meshgrid(xs, ys, zs, indexing="ij")
+    return jnp.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+
+
 @partial(jax.jit, static_argnames=("camera", "shape"))
 def frustum_mask(bound, shape: Tuple[int, int, int], c2w, depth,
                  camera: Camera):
@@ -134,11 +146,7 @@ def frustum_mask(bound, shape: Tuple[int, int, int], c2w, depth,
     in-frustum with -z <= depth + 0.5, plus all voxels within 0.5 m of the
     camera center.  Returns (Nx, Ny, Nz) bool."""
     nx, ny, nz = shape
-    xs = jnp.linspace(bound[0, 0], bound[0, 1], nx)
-    ys = jnp.linspace(bound[1, 0], bound[1, 1], ny)
-    zs = jnp.linspace(bound[2, 0], bound[2, 1], nz)
-    X, Y, Z = jnp.meshgrid(xs, ys, zs, indexing="ij")
-    pts = jnp.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+    pts = grid_node_points(bound, shape)
 
     u, v, z = project_points(pts, c2w, camera)
     d_at = bilinear_sample_2d(depth, u, v)
@@ -477,18 +485,15 @@ def mapping_step(params, grids, bound, store, est_buf, idx, color, depth,
 
 
 def refresh_occ_proxy(params, grids, bound, mspec: ModelSpec):
-    """Re-decode the occupancy proxy at its cell centers from the current
-    map ('fine' stage = middle+fine occupancy) — one cheap decode per
-    mapping event that steers occupancy-guided ray sampling
+    """Re-decode the occupancy proxy at its grid NODES (the positions its
+    own trilinear reads interpolate between) from the current map ('fine'
+    stage = middle+fine occupancy) — one cheap decode per mapping event
+    that steers occupancy-guided ray sampling
     (ops.sampling.occ_guided_zvals)."""
     from nice_slam_tpu.models.decoders import model_apply
 
     shape = grids["occ_proxy"].shape[:3]
-    xs = jnp.linspace(bound[0, 0], bound[0, 1], shape[0])
-    ys = jnp.linspace(bound[1, 0], bound[1, 1], shape[1])
-    zs = jnp.linspace(bound[2, 0], bound[2, 1], shape[2])
-    X, Y, Z = jnp.meshgrid(xs, ys, zs, indexing="ij")
-    pts = jnp.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+    pts = grid_node_points(bound, shape)
     raw = model_apply(params, mspec, grids, bound, pts, "fine",
                       train_decoders=False)
     occ = jax.nn.sigmoid(10.0 * raw[..., 3]).reshape(shape + (1,))

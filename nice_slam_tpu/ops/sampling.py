@@ -71,9 +71,13 @@ def occ_guided_zvals(rays_o, rays_d, near, far, occ_proxy, bound, n: int,
     pn = normalize_coords(pts.reshape(-1, 3), bound)
     w = trilinear_interp(occ_proxy, pn)[..., 0].reshape(mids.shape)
     w = jnp.clip(w, floor, 1.0)
-    # interior-weight layout expected by sample_pdf (bins = midpoints)
-    w_in = 0.5 * (w[..., 1:] + w[..., :-1])
-    z = sample_pdf(None, mids, w_in, n, det=True)
+    # bins include near/far endpoints so the first/last half probe-bin
+    # stays covered (the uniform sampler places samples AT near/far)
+    bins = jnp.concatenate([near, mids, far], axis=-1)     # (N, P+2)
+    w_edge = jnp.concatenate(
+        [w[..., :1], 0.5 * (w[..., 1:] + w[..., :-1]), w[..., -1:]],
+        axis=-1)                                           # (N, P+1)
+    z = sample_pdf(None, bins, w_edge, n, det=True)
     return z
 
 

@@ -37,7 +37,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from nice_slam_tpu.engine import SlamEngine
-from nice_slam_tpu.tracking import track_frames_group
 
 
 class PipelinedSlamEngine(SlamEngine):
@@ -69,28 +68,43 @@ class PipelinedSlamEngine(SlamEngine):
         # mapping events must NOT block the host: the next tracking group
         # overlaps them on the other device (engine.map_once honors this)
         self._map_barrier = False
+        if self.mesh is not None:
+            raise ValueError(
+                "tpu.pipelined and tpu.data_parallel are mutually "
+                "exclusive: the pipelined engine commits the map state to "
+                "one device; dp mapping would shard it over the mesh")
+
+    # mapping_step donates its inputs, so map_state.params/grids are
+    # donation-ALIASED buffers; per the measured axon invariant
+    # (engine.py docstring), copies/fetches of aliased buffers may not
+    # wait for the in-flight program.  Derive FRESH buffers on the map
+    # device first — one jitted dispatch — then device_put those.
+    _freshen = staticmethod(jax.jit(
+        lambda t: jax.tree.map(lambda x: x + jnp.zeros((), x.dtype), t)))
 
     def _snapshot(self, idx: Optional[int]):
         """Pull the mapper's latest params/grids to the tracking device
         (the analogue of Tracker.update_para_from_mapping) and fold the
         BA-refined pose for `idx` back into the tracker's trajectory."""
-        self._params_t = jax.device_put(self.map_state.params,
-                                        self.dev_track)
-        self._grids_t = jax.device_put(self.map_state.grids, self.dev_track)
+        fresh = self._freshen(
+            {"p": self.map_state.params, "g": self.map_state.grids,
+             "e": self._est_m})
+        self._params_t = jax.device_put(fresh["p"], self.dev_track)
+        self._grids_t = jax.device_put(fresh["g"], self.dev_track)
         if idx is not None:
-            row = jax.device_put(self.map_state_est_row(idx),
-                                 self.dev_track)
+            row = jax.device_put(fresh["e"][idx], self.dev_track)
             self._est_dev = self._set_pose(self._est_dev, idx, row)
 
-    def map_state_est_row(self, idx: int):
-        return self._est_m[idx]
-
     def run(self, n_frames: Optional[int] = None, progress: bool = False):
+        if self.gt_camera:
+            # GT-pose mode has no tracking to overlap; the sequential
+            # engine's per-frame path is the correct (and honest) schedule
+            return super().run(n_frames=n_frames, progress=progress)
         n = min(n_frames or self.n_img, self.n_img)
-        s = self.specs
         assert self.vis_hook is None, \
             "pipelined engine tracks in groups; use the sequential engine " \
-            "for per-frame vis"
+            "for per-frame vis (mapping panels still work: " \
+            "enable_visualizer(mapping_only=True))"
 
         # frame 0: first mapping event on M, then snapshot
         color, depth, gt_pose = self._load_frame(0)
@@ -100,26 +114,21 @@ class PipelinedSlamEngine(SlamEngine):
         self._est_dev = self._set_pose(self._est_dev, 0, gt_pose)
         self._est_m = jax.device_put(self._est_dev, self.dev_map)
         self.mapping_event(0, color_m, depth_m, gt_pose, first=True)
-        self._est_m = self._est_dev_map_side()
         self._snapshot(None)
         self.frames_done = 1
 
         cur = 1
         prev_event = None  # frame idx of the in-flight mapping event
         while cur < n:
-            g_end = min(((cur - 1) // self.every_frame + 1)
-                        * self.every_frame, n - 1)
+            g_end = self.group_end(cur, self.every_frame, n)
             colors, depths, gts = self._load_frames_stacked(cur, g_end)
             self.gt_c2w[cur:g_end + 1] = gts
 
             # 1) track the group on T against the CURRENT (stale) snapshot
             t0 = time.perf_counter()
-            self._est_dev, losses_t = track_frames_group(
-                self._params_t, self._grids_t, self.bound,
-                self._est_dev, cur, colors, depths, self._key_base,
-                self._next_step(), s.camera, s.track, s.render, s.model)
-            self.tracking_stats.append(
-                {"idxs": list(range(cur, g_end + 1)), "arr": losses_t})
+            losses_t = self._track_group(cur, g_end, colors, depths,
+                                         params=self._params_t,
+                                         grids=self._grids_t)
 
             # 2) the PREVIOUS event finished on M while we tracked: pull it
             if prev_event is not None:
@@ -134,7 +143,6 @@ class PipelinedSlamEngine(SlamEngine):
                 dm = jax.device_put(depths, self.dev_map)
                 self.mapping_event(g_end, cm, dm, gts[-1],
                                    frame_sel=g_end - cur)
-                self._est_m = self._est_dev_map_side()
                 prev_event = g_end
 
             self.frames_done = g_end + 1
@@ -159,6 +167,3 @@ class PipelinedSlamEngine(SlamEngine):
         finally:
             self._est_m = self._est_dev
             self._est_dev = est_t
-
-    def _est_dev_map_side(self):
-        return self._est_m

@@ -71,12 +71,21 @@ class Visualizer:
         return out
 
 
-def make_engine_vis_hook(vis_dir: str, freq: int = 50):
-    """Engine-level hook: render a tracking panel every `freq` frames."""
-    vis = Visualizer(freq, 1, vis_dir)
+def make_engine_vis_hook(vis_dir: str, freq: int = 50,
+                         by_call_count: bool = False):
+    """Engine-level hook: render a panel every `freq` frames — or, with
+    by_call_count (used for the mapping hook, which only fires at mapping
+    events), every `freq`-th CALL, so 'every N-th mapping event' holds
+    whatever every_frame is."""
+    # by_call_count does its own gating; disable maybe_vis's idx gate then
+    vis = Visualizer(1 if by_call_count else freq, 1, vis_dir)
+    n_calls = [0]
 
     def hook(engine, idx, color, depth):
-        if idx % vis.freq != 0:
+        gate = (n_calls[0] % freq != 0) if by_call_count \
+            else (idx % vis.freq != 0)
+        n_calls[0] += 1
+        if gate:
             return  # skip BEFORE the trajectory fetch — est_c2w is a
             # full device_get and would stall every frame on remote chips
         c = np.asarray(color)

@@ -72,13 +72,17 @@ def main():
         except ImportError:
             pass
 
-    if cfg["tpu"].get("pipelined"):
+    pipelined = bool(cfg["tpu"].get("pipelined"))
+    if pipelined:
         from nice_slam_tpu.parallel.pipelined import PipelinedSlamEngine
         eng = PipelinedSlamEngine(cfg, mesher_hook=mesher_hook)
     else:
         eng = SlamEngine(cfg, mesher_hook=mesher_hook)
     if args.vis:
-        eng.enable_visualizer()
+        if pipelined:
+            print("note: tpu.pipelined tracks in frame groups — keeping "
+                  "mapping panels only (no per-frame tracking panels)")
+        eng.enable_visualizer(mapping_only=pipelined)
     if args.resume:
         eng.resume(args.resume)
     from nice_slam_tpu.utils.profiling import xla_trace
