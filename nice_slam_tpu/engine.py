@@ -360,8 +360,8 @@ class SlamEngine:
                           self.lr_first_factor if first else self.lr_factor,
                           ba=False, coarse=True, frame_sel=frame_sel)
 
-        if self._map_vis_hook is not None and color.ndim == 3:
-            self._map_vis_hook(self, idx, color, depth)
+        if self._map_vis_hook is not None:
+            self._map_vis_hook(self, idx, color, depth, frame_sel)
 
         if (idx % self.ckpt_freq == 0 and idx > 0) or final:
             self.save(os.path.join(self.output, "ckpts",

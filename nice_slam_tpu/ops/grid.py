@@ -13,6 +13,9 @@ can be swapped in behind the same signature (ops/pallas/).
 
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 
 
@@ -33,12 +36,9 @@ def grid_coords(p_nor: jnp.ndarray, shape) -> jnp.ndarray:
     return jnp.clip(u, 0.0, sizes - 1.0)
 
 
-def trilinear_interp(grid: jnp.ndarray, p_nor: jnp.ndarray) -> jnp.ndarray:
-    """Trilinearly interpolate `grid` [Nx, Ny, Nz, C] at p_nor (N, 3) in
-    [-1, 1]^3 (x, y, z order).  Returns (N, C).
-
-    Differentiable w.r.t. both grid (backward = scatter-add) and p_nor.
-    """
+def _interp_impl(grid: jnp.ndarray, p_nor: jnp.ndarray) -> jnp.ndarray:
+    """Plain trilinear interpolation (XLA autodiff backward: 8 gathers
+    whose transpose is 8 vertex-indexed scatter-adds of N rows each)."""
     nx, ny, nz, C = grid.shape
     u = grid_coords(p_nor, (nx, ny, nz))  # (N, 3)
 
@@ -72,6 +72,86 @@ def trilinear_interp(grid: jnp.ndarray, p_nor: jnp.ndarray) -> jnp.ndarray:
     c0 = c00 * (1 - fy) + c01 * fy
     c1 = c10 * (1 - fy) + c11 * fy
     return c0 * (1 - fx) + c1 * fx
+
+
+# ---------------------------------------------------------------------------
+# Moment-scatter backward
+#
+# Round-1 op-level profiling (tools/xprof_summary.py, README) measured the
+# grid-GRADIENT scatter-adds at 64% of a color-stage mapping iteration
+# (~3.2 ms per grid level), and found the cost row-count-bound: merged
+# scatters, pre-sorting and segment_sum all lowered to the same or worse.
+# The 8x row cut below is the lever that works: instead of XLA's transpose
+# of 8 gathers (8 scatters x N rows x C values into grid VERTICES), scatter
+# ONE row per point into its containing CELL, carrying all 8 corner-weighted
+# cotangents (8*C values), then fold the (Ncells, 2,2,2, C) moment buffer
+# onto the (Nx, Ny, Nz, C) vertex grid with 8 dense pad-and-add shifts —
+# vertex (x,y,z) accumulates corner (a,b,c) of cell (x-a, y-b, z-c).  The
+# fold is dense, fully vectorized, and a few hundred microseconds of HBM
+# traffic; the scatter does 8x fewer rows at 8x the row width.  The result
+# is bit-identical to the autodiff gradient (same weights, same adds up to
+# float reassociation) — asserted by tests/test_ops.py.
+
+def _moment_scatter_bwd(res, g):
+    grid, p_nor = res
+    nx, ny, nz, C = grid.shape
+
+    # grad w.r.t. p_nor: exact autodiff of the forward with the grid frozen
+    # (8 gathers + elementwise — gathers were never the bottleneck)
+    _, pull = jax.vjp(
+        lambda pn: _interp_impl(jax.lax.stop_gradient(grid), pn), p_nor)
+    (gp,) = pull(g)
+
+    u = grid_coords(p_nor, (nx, ny, nz))
+    i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0,
+                  jnp.array([nx - 2, ny - 2, nz - 2]))
+    f = u - i0.astype(u.dtype)
+    fx, fy, fz = f[:, 0:1], f[:, 1:2], f[:, 2:3]
+    wx = jnp.concatenate([1.0 - fx, fx], axis=1)            # (N, 2)
+    wy = jnp.concatenate([1.0 - fy, fy], axis=1)
+    wz = jnp.concatenate([1.0 - fz, fz], axis=1)
+    w = (wx[:, :, None, None] * wy[:, None, :, None]
+         * wz[:, None, None, :]).reshape(-1, 8)             # (N, 8)
+    vals = (w[:, :, None] * g[:, None, :]).reshape(-1, 8 * C)
+
+    cell = (i0[:, 0] * (ny - 1) + i0[:, 1]) * (nz - 1) + i0[:, 2]
+    m = jnp.zeros(((nx - 1) * (ny - 1) * (nz - 1), 8 * C), g.dtype)
+    m = m.at[cell].add(vals, mode="promise_in_bounds")      # in-range by clip
+    m = m.reshape(nx - 1, ny - 1, nz - 1, 2, 2, 2, C)
+
+    gg = None
+    for a in (0, 1):
+        for b in (0, 1):
+            for c in (0, 1):
+                part = jnp.pad(m[..., a, b, c, :],
+                               ((a, 1 - a), (b, 1 - b), (c, 1 - c), (0, 0)))
+                gg = part if gg is None else gg + part
+    return gg, gp
+
+
+@jax.custom_vjp
+def _interp_mscatter(grid, p_nor):
+    return _interp_impl(grid, p_nor)
+
+
+_interp_mscatter.defvjp(lambda grid, p_nor:
+                        (_interp_impl(grid, p_nor), (grid, p_nor)),
+                        _moment_scatter_bwd)
+
+
+def trilinear_interp(grid: jnp.ndarray, p_nor: jnp.ndarray) -> jnp.ndarray:
+    """Trilinearly interpolate `grid` [Nx, Ny, Nz, C] at p_nor (N, 3) in
+    [-1, 1]^3 (x, y, z order).  Returns (N, C).
+
+    Differentiable w.r.t. both grid (backward = one moment scatter + dense
+    fold, see _moment_scatter_bwd; NICE_SLAM_TPU_MSCATTER=0 reverts to the
+    XLA autodiff scatters — the choice is read at TRACE time) and p_nor.
+    """
+    nx, ny, nz, _ = grid.shape
+    if (min(nx, ny, nz) < 2 or p_nor.ndim != 2
+            or os.environ.get("NICE_SLAM_TPU_MSCATTER", "1") == "0"):
+        return _interp_impl(grid, p_nor)
+    return _interp_mscatter(grid, p_nor)
 
 
 def grid_shape_for_bound(bound, voxel_len: float, enlarge: int = 1):

@@ -54,6 +54,16 @@ def dp_map_optimize(params, grids, bound, window, cams0, masks, cam_lr_mask,
         identical update."""
 
         def per_device(tree_, win_, b_, keys_shard):
+            # Replicated inputs enter the body as UNVARYING over the mesh
+            # axis, but the per-shard keys make every downstream value
+            # varying; the moment-scatter custom VJP (ops/grid.py) then
+            # produces varying cotangents, which JAX's vma check rejects
+            # against unvarying primals.  Cast the primals to varying up
+            # front — the explicit psum below is what makes the update
+            # replica-identical, exactly as before.
+            tree_, win_, b_ = jax.tree.map(
+                lambda x: jax.lax.pcast(x, axis, to="varying"),
+                (tree_, win_, b_))
             loss, g = jax.value_and_grad(
                 lambda t: mapping_loss(_stop_frozen(t, frozen), win_, b_,
                                        keys_shard[0], camera, stage,

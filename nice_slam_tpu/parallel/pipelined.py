@@ -78,22 +78,26 @@ class PipelinedSlamEngine(SlamEngine):
     # donation-ALIASED buffers; per the measured axon invariant
     # (engine.py docstring), copies/fetches of aliased buffers may not
     # wait for the in-flight program.  Derive FRESH buffers on the map
-    # device first — one jitted dispatch — then device_put those.
+    # device first — one jitted dispatch — then device_put those.  The
+    # BA-pose row selection rides the same dispatch (idx is a traced
+    # scalar) so a snapshot stays one program + device_puts.
     _freshen = staticmethod(jax.jit(
-        lambda t: jax.tree.map(lambda x: x + jnp.zeros((), x.dtype), t)))
+        lambda t, idx: (
+            jax.tree.map(lambda x: x + jnp.zeros((), x.dtype), t),
+            jax.lax.dynamic_index_in_dim(t["e"], idx, keepdims=False))))
 
     def _snapshot(self, idx: Optional[int]):
         """Pull the mapper's latest params/grids to the tracking device
         (the analogue of Tracker.update_para_from_mapping) and fold the
         BA-refined pose for `idx` back into the tracker's trajectory."""
-        fresh = self._freshen(
+        fresh, row = self._freshen(
             {"p": self.map_state.params, "g": self.map_state.grids,
-             "e": self._est_m})
+             "e": self._est_m}, 0 if idx is None else idx)
         self._params_t = jax.device_put(fresh["p"], self.dev_track)
         self._grids_t = jax.device_put(fresh["g"], self.dev_track)
         if idx is not None:
-            row = jax.device_put(fresh["e"][idx], self.dev_track)
-            self._est_dev = self._set_pose(self._est_dev, idx, row)
+            row_t = jax.device_put(row, self.dev_track)
+            self._est_dev = self._set_pose(self._est_dev, idx, row_t)
 
     def run(self, n_frames: Optional[int] = None, progress: bool = False):
         if self.gt_camera:

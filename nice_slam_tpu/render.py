@@ -83,6 +83,11 @@ def _zvals(key, rays_o, rays_d, gt_depth, bound, rspec: RenderSpec,
         far = far_bb
 
     if occ_proxy is not None:
+        if rspec.lindisp:
+            raise ValueError(
+                "occ_guided sampling builds linear-in-depth probe bins and "
+                "does not support lindisp=True; set occupancy_guided=False "
+                "or lindisp=False")
         from nice_slam_tpu.ops import occ_guided_zvals
         z_vals = occ_guided_zvals(rays_o, rays_d, near, far, occ_proxy,
                                   bound, rspec.n_samples)

@@ -81,13 +81,17 @@ def make_engine_vis_hook(vis_dir: str, freq: int = 50,
     vis = Visualizer(1 if by_call_count else freq, 1, vis_dir)
     n_calls = [0]
 
-    def hook(engine, idx, color, depth):
+    def hook(engine, idx, color, depth, frame_sel=0):
         gate = (n_calls[0] % freq != 0) if by_call_count \
             else (idx % vis.freq != 0)
         n_calls[0] += 1
         if gate:
             return  # skip BEFORE the trajectory fetch — est_c2w is a
             # full device_get and would stall every frame on remote chips
+        if getattr(color, "ndim", 3) == 4:
+            # grouped / pipelined mapping passes stacked (G,H,W,3) frames;
+            # slice the mapped frame out (eager, but only at vis cadence)
+            color, depth = color[frame_sel], depth[frame_sel]
         c = np.asarray(color)
         if c.dtype == np.uint8:  # engine may stream color as uint8
             c = c.astype(np.float32) / 255.0

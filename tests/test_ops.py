@@ -251,6 +251,63 @@ class TestGrid:
         gr = jax.grad(f)(g)
         assert float(jnp.abs(gr).sum()) > 0
 
+    def test_moment_scatter_backward_matches_autodiff(self):
+        # The moment-scatter VJP (ops/grid.py _moment_scatter_bwd) must
+        # reproduce XLA's autodiff gradient exactly — for BOTH the grid
+        # (8x fewer scatter rows) and the points (pose grads in tracking).
+        rng = np.random.RandomState(11)
+        nx, ny, nz, C = 6, 5, 7, 8
+        g = jnp.asarray(rng.randn(nx, ny, nz, C).astype(np.float32))
+        p = jnp.asarray(
+            (rng.rand(150, 3).astype(np.float32) * 2.4 - 1.2))  # incl. OOB
+        ct = jnp.asarray(rng.randn(150, C).astype(np.float32))
+
+        def loss(fn, grid, pts):
+            return jnp.sum(fn(grid, pts) * ct)
+
+        gg_ref, gp_ref = jax.grad(
+            lambda a, b: loss(gridops._interp_impl, a, b), (0, 1))(g, p)
+        gg_ms, gp_ms = jax.grad(
+            lambda a, b: loss(gridops._interp_mscatter, a, b), (0, 1))(g, p)
+        np.testing.assert_allclose(np.asarray(gg_ms), np.asarray(gg_ref),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gp_ms), np.asarray(gp_ref),
+                                   rtol=1e-5, atol=1e-5)
+        # forward identical
+        np.testing.assert_allclose(
+            np.asarray(gridops._interp_mscatter(g, p)),
+            np.asarray(gridops._interp_impl(g, p)), atol=0)
+
+    def test_moment_scatter_under_scan_and_vmap(self):
+        # mapping runs the VJP inside lax.scan; keyframe selection vmaps
+        # interp-bearing code — both must compose with the custom_vjp
+        g = jnp.asarray(np.random.RandomState(0)
+                        .randn(4, 4, 4, 2).astype(np.float32))
+        p = jnp.asarray(np.random.RandomState(1)
+                        .rand(5, 10, 3).astype(np.float32) * 2 - 1)
+
+        def per(pp):
+            return gridops.trilinear_interp(g, pp).sum()
+
+        out_v = jax.vmap(per)(p)
+        out_ref = jnp.stack([gridops._interp_impl(g, pp).sum() for pp in p])
+        np.testing.assert_allclose(np.asarray(out_v), np.asarray(out_ref),
+                                   rtol=1e-6)
+
+        def step(grid, pp):
+            l, gr = jax.value_and_grad(
+                lambda gg: gridops.trilinear_interp(gg, pp).sum())(grid)
+            return grid - 0.1 * gr, l
+
+        final, losses = jax.lax.scan(step, g, p)
+        final_ref, losses_ref = jax.lax.scan(
+            lambda grid, pp: (
+                grid - 0.1 * jax.grad(
+                    lambda gg: gridops._interp_impl(gg, pp).sum())(grid),
+                gridops._interp_impl(grid, pp).sum()), g, p)
+        np.testing.assert_allclose(np.asarray(final), np.asarray(final_ref),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_grid_shape_for_bound(self):
         # Replica room0 worked example (SURVEY.md §2.4)
         bound = [[-2.9, 8.94], [-3.2, 5.76], [-3.5, 3.54]]

@@ -154,6 +154,29 @@ class TestImapMode:
         assert stats["rmse"] < 0.5, stats
 
 
+class TestMappingVisualizer:
+    def test_grouped_mapping_panels_slice_stacked_frames(self, tmp_path):
+        """enable_visualizer(mapping_only=True) must render the MAPPED
+        frame even on the grouped fast path, where mapping events receive
+        stacked (G, H, W, 3) frames and frame_sel picks the frame
+        (round-1 advisor finding)."""
+        import os
+
+        cfg = load_config(overrides={
+            **TEST_CFG,
+            "synthetic": {"n_frames": 9},
+            "mapping": {**TEST_CFG["mapping"], "iters_first": 30,
+                        "iters": 8, "vis_freq": 1}})
+        out = str(tmp_path / "vis_run")
+        eng = SlamEngine(cfg, output=out).enable_visualizer(
+            mapping_only=True)
+        # grouped path requires no per-frame hook: mapping_only leaves
+        # vis_hook None, so run() picks _run_grouped
+        eng.run()
+        panels = os.listdir(os.path.join(out, "mapping_vis"))
+        assert len(panels) >= 2, panels
+
+
 class TestLooseSyncMode:
     def test_loose_lags_mapping_and_converges(self):
         """sync_method loose: the mapper lags the tracker by a
