@@ -295,6 +295,9 @@ def specs_from_config(cfg: dict) -> SlamSpecs:
         keyframe_every=m["keyframe_every"],
         ba=m["BA"], ba_cam_lr=m["BA_cam_lr"], nice=nice,
         coarse_mapper=False, imap_decoders_lr=m["imap_decoders_lr"],
+        pose_gn_iters=m.get("pose_GN_iters", 0),
+        pose_gn_pixels=m.get("pose_GN_pixels", 200),
+        pose_gn_damping=m.get("pose_GN_damping", 1e-3),
         stage_lr=stage_lr,
     )
     coarse_mapper = None
@@ -303,6 +306,7 @@ def specs_from_config(cfg: dict) -> SlamSpecs:
         # (reference Mapper.py:78-80, 403-404, 602-603)
         from dataclasses import replace
         coarse_mapper = replace(mapper, coarse_mapper=True,
-                                keyframe_selection="global", ba=False)
+                                keyframe_selection="global", ba=False,
+                                pose_gn_iters=0)
     return SlamSpecs(camera=camera, model=model, render=render, track=track,
                      mapper=mapper, coarse_mapper=coarse_mapper)

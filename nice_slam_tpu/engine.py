@@ -133,6 +133,11 @@ class SlamEngine:
         self.frames_done = 0
         self.timings = {"track": 0.0, "map": 0.0, "coarse_map": 0.0,
                         "io": 0.0, "kf_add": 0.0}
+        # background frame loading: dataset decode + host preprocessing
+        # overlap device compute (one worker, one group ahead — the
+        # reference pays this cost on the tracker's critical path via its
+        # synchronous DataLoader, Tracker.py:64-65)
+        self.prefetch = bool(cfg["tpu"].get("prefetch", True))
 
     def _load_pretrained_decoders(self):
         """Load frozen decoder weights: this repo's npz if present, else
@@ -283,17 +288,28 @@ class SlamEngine:
 
     # -- mapping -----------------------------------------------------------
 
+    @staticmethod
+    def _stage_iters_of(mapspec, num_joint_iters: int):
+        it = mapspec.stage_iters(num_joint_iters)
+        return tuple((st, it[st])
+                     for st in ("coarse", "middle", "fine", "color")
+                     if it[st] > 0)
+
     def map_once(self, idx: int, color, depth, mapspec,
                  num_joint_iters: int, lr_factor: float, ba: bool,
-                 coarse: bool = False, frame_sel: int = 0):
+                 coarse: bool = False, frame_sel: int = 0,
+                 insert_kf: bool = False, gt_pose=None,
+                 coarse_spec=None, coarse_iters: int = 0,
+                 coarse_lr_factor: float = 1.0):
         """One mapping optimization: keyframe selection, frustum masks,
         staged optimization and BA pose write-back fused into a single
-        dispatch (mapping.mapping_step)."""
+        dispatch (mapping.mapping_step).  With insert_kf/coarse_spec the
+        keyframe insertion and the whole coarse-mapper optimization ride
+        the SAME dispatch (one barrier per mapping event)."""
         s = self.specs
-        it = mapspec.stage_iters(num_joint_iters)
-        stage_iters = tuple((st, it[st])
-                            for st in ("coarse", "middle", "fine", "color")
-                            if it[st] > 0)
+        stage_iters = self._stage_iters_of(mapspec, num_joint_iters)
+        coarse_stage_iters = (self._stage_iters_of(coarse_spec, coarse_iters)
+                              if coarse_spec is not None else ())
 
         t0 = time.perf_counter()
         (self.map_state.params, self.map_state.grids, self.store,
@@ -302,7 +318,13 @@ class SlamEngine:
             self.store, self._est_dev, idx, color, depth, frame_sel,
             float(lr_factor), self._key_base, self._next_step(),
             s.camera, stage_iters, mapspec, s.render, s.model, ba,
-            s.model.coarse_bound_enlarge, self.mesh)
+            s.model.coarse_bound_enlarge, self.mesh,
+            insert_kf=insert_kf,
+            gt_pose=(jnp.asarray(gt_pose, jnp.float32) if insert_kf
+                     else None),
+            coarse_spec=coarse_spec,
+            coarse_stage_iters=coarse_stage_iters,
+            coarse_lr_factor=float(coarse_lr_factor))
         # fresh-buffer fetch = reliable step barrier (see track()); the
         # pipelined engine disables it so its mapping events overlap the
         # next tracking group on the other device
@@ -335,30 +357,50 @@ class SlamEngine:
             n_iters = max(self.iters // (1 if mapspec.nice else 3), 1)
             lr_f = self.lr_factor
 
+        want_insert = (
+            (idx % self.keyframe_every == 0 or idx >= self.n_img - 2)
+            and idx not in self.kf_frame_ids
+            and len(self.kf_frame_ids) < self.store.capacity)
         losses = None
-        for _ in range(outer):
+        if outer == 1:
+            # the common path: fine map (+BA), keyframe insertion
+            # (Mapper.py:611-617) and the independent coarse mapper all
+            # fused into ONE dispatch + ONE barrier
             ba = (len(self.kf_frame_ids) > 4) and mapspec.ba
-            losses = self.map_once(idx, color, depth, mapspec,
-                                   n_iters, lr_f, ba, frame_sel=frame_sel)
+            losses = self.map_once(
+                idx, color, depth, mapspec, n_iters, lr_f, ba,
+                frame_sel=frame_sel, insert_kf=want_insert, gt_pose=gt_pose,
+                coarse_spec=self.specs.coarse_mapper,
+                coarse_iters=self.iters_first if first else self.iters,
+                coarse_lr_factor=(self.lr_first_factor if first
+                                  else self.lr_factor))
+            if want_insert:
+                self.kf_frame_ids.append(idx)
+        else:
+            # multi-pass events (final color refine, iMAP*'s 3-pass loop)
+            # keep the sequential sub-dispatches
+            for _ in range(outer):
+                ba = (len(self.kf_frame_ids) > 4) and mapspec.ba
+                losses = self.map_once(idx, color, depth, mapspec,
+                                       n_iters, lr_f, ba,
+                                       frame_sel=frame_sel)
 
-        # keyframe insertion (Mapper.py:611-617)
-        if (idx % self.keyframe_every == 0 or idx >= self.n_img - 2) \
-                and idx not in self.kf_frame_ids \
-                and len(self.kf_frame_ids) < self.store.capacity:
-            tk = time.perf_counter()
-            self.store = add_keyframe_from(
-                self.store, color, depth, self._est_dev, gt_pose, idx,
-                frame_sel)
-            self._sync(self.store.count, "kf_add", tk)
-            self.kf_frame_ids.append(idx)
+            if want_insert:
+                tk = time.perf_counter()
+                self.store = add_keyframe_from(
+                    self.store, color, depth, self._est_dev, gt_pose, idx,
+                    frame_sel)
+                self._sync(self.store.count, "kf_add", tk)
+                self.kf_frame_ids.append(idx)
 
-        # coarse mapper (independent; coarse grid only)
-        if self.specs.coarse_mapper is not None:
-            self.map_once(idx, color, depth,
-                          self.specs.coarse_mapper,
-                          self.iters_first if first else self.iters,
-                          self.lr_first_factor if first else self.lr_factor,
-                          ba=False, coarse=True, frame_sel=frame_sel)
+            # coarse mapper (independent; coarse grid only)
+            if self.specs.coarse_mapper is not None:
+                self.map_once(idx, color, depth,
+                              self.specs.coarse_mapper,
+                              self.iters_first if first else self.iters,
+                              self.lr_first_factor if first
+                              else self.lr_factor,
+                              ba=False, coarse=True, frame_sel=frame_sel)
 
         if self._map_vis_hook is not None:
             self._map_vis_hook(self, idx, color, depth, frame_sel)
@@ -406,8 +448,20 @@ class SlamEngine:
                 it = tqdm(it, desc="slam")
             except ImportError:
                 pass
+        pool = None
+        fut = None
+        if self.prefetch and n > 0:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=1,
+                                      thread_name_prefix="frame-prefetch")
+            fut = pool.submit(self._load_frame, 0)
         for idx in it:
-            color, depth, gt_pose = self._load_frame(idx)
+            if fut is not None:
+                color, depth, gt_pose = fut.result()
+                if idx + 1 < n:
+                    fut = pool.submit(self._load_frame, idx + 1)
+            else:
+                color, depth, gt_pose = self._load_frame(idx)
             if self.map_lag > 0:
                 self._frame_cache[idx] = (color, depth, gt_pose)
                 for old in [k for k in self._frame_cache
@@ -430,6 +484,8 @@ class SlamEngine:
             if self.vis_hook is not None:
                 self.vis_hook(self, idx, color, depth)
             self.frames_done = idx + 1
+        if pool is not None:
+            pool.shutdown(wait=False)
         return self
 
     def _track_group(self, cur: int, g_end: int, colors, depths,
@@ -473,29 +529,54 @@ class SlamEngine:
         color, depth, gt_pose = self._load_frame(0)
         self.gt_c2w[0] = gt_pose
         self._est_dev = self._set_pose(self._est_dev, 0, gt_pose)
+
+        # group schedule, known up front -> prefetch one group ahead on a
+        # worker thread (dataset decode + upload overlap device compute)
+        bounds = []
+        cur = 1
+        while cur < n:
+            g_end = self.group_end(cur, self.every_frame, n)
+            bounds.append((cur, g_end))
+            cur = g_end + 1
+        pool = None
+        fut = None
+        if self.prefetch and bounds:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=1,
+                                      thread_name_prefix="frame-prefetch")
+            fut = pool.submit(self._load_frames_stacked, *bounds[0])
+
         self.mapping_event(0, color, depth, gt_pose, first=True)
         self.frames_done = 1
         if bar:
             bar.update(1)
 
-        cur = 1
-        while cur < n:
-            g_end = self.group_end(cur, self.every_frame, n)
-            colors, depths, gts = self._load_frames_stacked(cur, g_end)
-            self.gt_c2w[cur:g_end + 1] = gts
+        try:
+            for gi, (cur, g_end) in enumerate(bounds):
+                if fut is not None:
+                    colors, depths, gts = fut.result()
+                    if gi + 1 < len(bounds):
+                        fut = pool.submit(self._load_frames_stacked,
+                                          *bounds[gi + 1])
+                else:
+                    colors, depths, gts = self._load_frames_stacked(
+                        cur, g_end)
+                self.gt_c2w[cur:g_end + 1] = gts
 
-            t0 = time.perf_counter()
-            losses = self._track_group(cur, g_end, colors, depths)
-            np.asarray(jax.device_get(losses))  # group barrier (fresh buf)
-            self.timings["track"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                losses = self._track_group(cur, g_end, colors, depths)
+                np.asarray(jax.device_get(losses))  # group barrier (fresh)
+                self.timings["track"] += time.perf_counter() - t0
 
-            if g_end == n - 1 or g_end % self.every_frame == 0:
-                self.mapping_event(g_end, colors, depths, gts[-1],
-                                   frame_sel=g_end - cur)
-            self.frames_done = g_end + 1
-            if bar:
-                bar.update(g_end + 1 - cur)
-            cur = g_end + 1
+                if g_end == n - 1 or g_end % self.every_frame == 0:
+                    self.mapping_event(g_end, colors, depths, gts[-1],
+                                       frame_sel=g_end - cur)
+                self.frames_done = g_end + 1
+                if bar:
+                    bar.update(g_end + 1 - cur)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
         if bar:
             bar.close()
         return self

@@ -54,12 +54,11 @@ def make_store(capacity: int, H: int, W: int) -> KeyframeStore:
     )
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def add_keyframe(store: KeyframeStore, color, depth, est_c2w, gt_c2w,
-                 frame_idx) -> KeyframeStore:
-    """Append a keyframe (color float in [0,1] -> uint8).  The store is
-    donated: the insert is a true in-place dynamic_update_slice — without
-    donation every insert would copy the whole multi-GB ring."""
+def add_keyframe_impl(store: KeyframeStore, color, depth, est_c2w, gt_c2w,
+                      frame_idx) -> KeyframeStore:
+    """Plain (trace-inlinable) keyframe append — the body of add_keyframe,
+    also inlined into mapping.mapping_step so a whole mapping event
+    (fine map + BA + keyframe insert + coarse map) is ONE dispatch."""
     i = store.count
     c8 = (color if color.dtype == jnp.uint8
           else jnp.clip(color * 255.0 + 0.5, 0, 255).astype(jnp.uint8))
@@ -73,6 +72,15 @@ def add_keyframe(store: KeyframeStore, color, depth, est_c2w, gt_c2w,
         frame_idx=store.frame_idx.at[i].set(frame_idx),
         count=store.count + 1,
     )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def add_keyframe(store: KeyframeStore, color, depth, est_c2w, gt_c2w,
+                 frame_idx) -> KeyframeStore:
+    """Append a keyframe (color float in [0,1] -> uint8).  The store is
+    donated: the insert is a true in-place dynamic_update_slice — without
+    donation every insert would copy the whole multi-GB ring."""
+    return add_keyframe_impl(store, color, depth, est_c2w, gt_c2w, frame_idx)
 
 
 @partial(jax.jit, donate_argnums=(0,))

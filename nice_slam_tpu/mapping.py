@@ -77,6 +77,14 @@ class MapSpec:
     keyframe_every: int = 50
     ba: bool = True                    # config-level switch (BA starts >4 kfs)
     ba_cam_lr: float = 0.001
+    # Second-order pose refinement after the Adam stages (parallel/
+    # schur_ba.py): n damped Gauss-Newton iterations on the window poses
+    # with the feature block eliminated (Schur-reduced under the
+    # frozen-feature alternation).  0 = off (the reference is first-order
+    # only).  Runs only when BA is active.
+    pose_gn_iters: int = 0
+    pose_gn_pixels: int = 200
+    pose_gn_damping: float = 1e-3
     nice: bool = True
     coarse_mapper: bool = False
     imap_decoders_lr: float = 0.0002
@@ -358,11 +366,12 @@ def _stop_frozen(tree, frozen):
 # The jitted mapping call
 
 @partial(jax.jit, static_argnames=("camera", "stage_iters", "mapspec",
-                                   "rspec", "mspec"))
+                                   "rspec", "mspec", "ba"))
 def map_optimize(params, grids, bound, window, cams0, masks, cam_lr_mask,
                  lr_factor, key, camera: Camera,
                  stage_iters: Tuple[Tuple[str, int], ...],
-                 mapspec: MapSpec, rspec: RenderSpec, mspec: ModelSpec):
+                 mapspec: MapSpec, rspec: RenderSpec, mspec: ModelSpec,
+                 ba: bool = True):
     """Run the staged mapping optimization.
 
     cams0: (Wn, 7) camera tensors for the window (from est poses).
@@ -420,39 +429,28 @@ def map_optimize(params, grids, bound, window, cams0, masks, cam_lr_mask,
         (tree, opt), losses = jax.lax.scan(step, (tree, opt), keys)
         all_losses.append(losses)
 
+    if ba and mapspec.pose_gn_iters > 0 and mapspec.nice:
+        from nice_slam_tpu.parallel.schur_ba import schur_pose_refine
+        key, kg = jax.random.split(key)
+        gn_rspec = dataclasses.replace(rspec, train_decoders=False)
+        tree["cams"] = schur_pose_refine(
+            tree["params"], tree["grids"], bound, window, tree["cams"],
+            cam_lr_mask, kg, camera, gn_rspec, mspec,
+            mapspec.pose_gn_iters, mapspec.pose_gn_pixels,
+            mapspec.pose_gn_damping)
+
     return (tree["params"], tree["grids"], tree["cams"],
             jnp.concatenate(all_losses) if all_losses else jnp.zeros((0,)))
 
 
-@partial(jax.jit, static_argnames=("camera", "stage_iters", "mapspec",
-                                   "rspec", "mspec", "ba",
-                                   "coarse_bound_enlarge", "mesh"),
-         donate_argnums=(0, 1, 3, 4))
-def mapping_step(params, grids, bound, store, est_buf, idx, color, depth,
-                 frame_sel, lr_factor, key, step_no, camera: Camera,
-                 stage_iters: Tuple[Tuple[str, int], ...], mapspec: MapSpec,
-                 rspec: RenderSpec, mspec: ModelSpec, ba: bool,
-                 coarse_bound_enlarge: int = 2, mesh=None):
-    """ONE dispatch per mapping event: RNG derivation, keyframe-window
-    selection, frustum masks, the staged optimization, and (under BA) the
-    keyframe-store + trajectory pose write-back — all fused into a single
-    jit so the host never runs an eager device op in the loop (each eager
-    op costs a full RPC on remote-attached TPUs; see engine.py docstring).
-
-    color/depth may be a single frame (H, W, ...) or a stacked group
-    (G, H, W, ...) with `frame_sel` picking the mapping frame in-jit (the
-    grouped tracking path reuses its uploaded stack for free).
-
-    Returns (params, grids, store, est_buf, losses)."""
+def _one_map_optimize(params, grids, bound, store, est_buf, idx, color,
+                      depth, lr_factor, key, camera, stage_iters, mapspec,
+                      rspec, mspec, ba, coarse_bound_enlarge, mesh):
+    """One keyframe-window optimization (selection + frustum masks + staged
+    Adam + BA write-back), trace-inlined into mapping_step."""
     from nice_slam_tpu.keyframes import update_poses
     from nice_slam_tpu.ops import to_homogeneous
 
-    key = jax.random.fold_in(key, step_no)
-    if color.ndim == 4:
-        color = color[frame_sel]
-        depth = depth[frame_sel]
-    if color.dtype == jnp.uint8:
-        color = color.astype(jnp.float32) / 255.0
     k1, k2 = jax.random.split(key)
     cur_c2w = est_buf[idx]
     window, masks, cams0, cam_lr_mask = prepare_mapping(
@@ -465,11 +463,12 @@ def mapping_step(params, grids, bound, store, est_buf, idx, color, depth,
         params, grids, cams, losses = dp_map_optimize(
             params, grids, bound, window, cams0, masks, cam_lr_mask,
             lr_factor, k2, camera, stage_iters, mapspec, rspec, mspec,
-            mesh)
+            mesh, ba=ba)
     else:
         params, grids, cams, losses = map_optimize(
             params, grids, bound, window, cams0, masks, cam_lr_mask,
-            lr_factor, k2, camera, stage_iters, mapspec, rspec, mspec)
+            lr_factor, k2, camera, stage_iters, mapspec, rspec, mspec,
+            ba=ba)
     if ba:
         new_c2w = to_homogeneous(cam_from_tensor(cams))
         kf_mask = (window["valid"]
@@ -478,9 +477,70 @@ def mapping_step(params, grids, bound, store, est_buf, idx, color, depth,
         store = update_poses(store, jnp.maximum(window["slots"], 0),
                              new_c2w, kf_mask)
         est_buf = est_buf.at[idx].set(new_c2w[-1])
+    return params, grids, store, est_buf, losses
+
+
+@partial(jax.jit, static_argnames=("camera", "stage_iters", "mapspec",
+                                   "rspec", "mspec", "ba",
+                                   "coarse_bound_enlarge", "mesh",
+                                   "insert_kf", "coarse_spec",
+                                   "coarse_stage_iters"),
+         donate_argnums=(0, 1, 3, 4))
+def mapping_step(params, grids, bound, store, est_buf, idx, color, depth,
+                 frame_sel, lr_factor, key, step_no, camera: Camera,
+                 stage_iters: Tuple[Tuple[str, int], ...], mapspec: MapSpec,
+                 rspec: RenderSpec, mspec: ModelSpec, ba: bool,
+                 coarse_bound_enlarge: int = 2, mesh=None,
+                 insert_kf: bool = False, gt_pose=None,
+                 coarse_spec: MapSpec = None,
+                 coarse_stage_iters: Tuple[Tuple[str, int], ...] = (),
+                 coarse_lr_factor=1.0):
+    """ONE dispatch per mapping EVENT: RNG derivation, keyframe-window
+    selection, frustum masks, the staged optimization, the BA
+    keyframe-store + trajectory pose write-back, and optionally the
+    keyframe insertion (insert_kf, the host-decided cadence of
+    Mapper.py:611-617) and the whole independent coarse-mapper
+    optimization (coarse_spec; the reference's third process,
+    NICE_SLAM.py:278-286) — all fused into a single jit so one mapping
+    event costs ONE dispatch + ONE barrier instead of three (each eager
+    op / barrier costs a full RPC on remote-attached TPUs; see engine.py
+    docstring).
+
+    color/depth may be a single frame (H, W, ...) or a stacked group
+    (G, H, W, ...) with `frame_sel` picking the mapping frame in-jit (the
+    grouped tracking path reuses its uploaded stack for free).
+
+    Order matches the reference event: fine map (+BA) -> keyframe insert
+    -> coarse map (the coarse mapper sees the post-BA poses and the
+    freshly inserted keyframe, exactly like the sequential path).
+
+    Returns (params, grids, store, est_buf, losses)."""
+    from nice_slam_tpu.keyframes import add_keyframe_impl
+
+    key = jax.random.fold_in(key, step_no)
+    if color.ndim == 4:
+        color = color[frame_sel]
+        depth = depth[frame_sel]
+    if color.dtype == jnp.uint8:
+        color = color.astype(jnp.float32) / 255.0
+    # the fine branch consumes `key` exactly as the standalone step did
+    # (bit-identical streams); the coarse branch folds a fresh tag
+    k_coarse = jax.random.fold_in(key, 0x0C)
+    params, grids, store, est_buf, losses = _one_map_optimize(
+        params, grids, bound, store, est_buf, idx, color, depth, lr_factor,
+        key, camera, stage_iters, mapspec, rspec, mspec, ba,
+        coarse_bound_enlarge, mesh)
     if mapspec.nice and not mapspec.coarse_mapper and "occ_proxy" in grids:
         grids = dict(grids)
         grids["occ_proxy"] = refresh_occ_proxy(params, grids, bound, mspec)
+    if insert_kf:
+        store = add_keyframe_impl(store, color, depth, est_buf[idx],
+                                  gt_pose, idx)
+    if coarse_spec is not None:
+        params, grids, store, est_buf, _ = _one_map_optimize(
+            params, grids, bound, store, est_buf, idx, color, depth,
+            coarse_lr_factor, k_coarse, camera, coarse_stage_iters,
+            coarse_spec, rspec, mspec, False, coarse_bound_enlarge, mesh)
     return params, grids, store, est_buf, losses
 
 

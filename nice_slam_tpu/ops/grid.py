@@ -14,6 +14,7 @@ can be swapped in behind the same signature (ops/pallas/).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 import jax
 import jax.numpy as jnp
@@ -139,6 +140,25 @@ _interp_mscatter.defvjp(lambda grid, p_nor:
                         _moment_scatter_bwd)
 
 
+_FORCE_PLAIN = False
+
+
+@contextmanager
+def plain_interp():
+    """Trace-time escape hatch: route trilinear_interp through the plain
+    XLA-autodiff implementation.  custom_vjp functions reject forward-mode
+    AD, so any jacfwd/jvp through the decode path (e.g. the Gauss-Newton
+    pose Jacobians in parallel/schur_ba.py) must trace inside this
+    context.  Python-level state consulted at trace time only."""
+    global _FORCE_PLAIN
+    old = _FORCE_PLAIN
+    _FORCE_PLAIN = True
+    try:
+        yield
+    finally:
+        _FORCE_PLAIN = old
+
+
 def trilinear_interp(grid: jnp.ndarray, p_nor: jnp.ndarray) -> jnp.ndarray:
     """Trilinearly interpolate `grid` [Nx, Ny, Nz, C] at p_nor (N, 3) in
     [-1, 1]^3 (x, y, z order).  Returns (N, C).
@@ -146,9 +166,9 @@ def trilinear_interp(grid: jnp.ndarray, p_nor: jnp.ndarray) -> jnp.ndarray:
     Differentiable w.r.t. both grid (backward = one moment scatter + dense
     fold, see _moment_scatter_bwd; NICE_SLAM_TPU_MSCATTER=0 reverts to the
     XLA autodiff scatters — the choice is read at TRACE time) and p_nor.
-    """
+    Forward-mode AD requires the plain_interp() context."""
     nx, ny, nz, _ = grid.shape
-    if (min(nx, ny, nz) < 2 or p_nor.ndim != 2
+    if (_FORCE_PLAIN or min(nx, ny, nz) < 2 or p_nor.ndim != 2
             or os.environ.get("NICE_SLAM_TPU_MSCATTER", "1") == "0"):
         return _interp_impl(grid, p_nor)
     return _interp_mscatter(grid, p_nor)

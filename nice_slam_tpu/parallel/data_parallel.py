@@ -39,10 +39,17 @@ def dp_map_optimize(params, grids, bound, window, cams0, masks, cam_lr_mask,
                     lr_factor, key, camera: Camera,
                     stage_iters: Tuple[Tuple[str, int], ...],
                     mapspec: MapSpec, rspec: RenderSpec, mspec: ModelSpec,
-                    mesh: Mesh):
+                    mesh: Mesh, ba: bool = True):
     """Data-parallel analogue of mapping.map_optimize: same staged
     schedule, but each step's loss+grad runs sharded over `mesh` with the
     per-device ray budget = mapspec.pixels (total rays = pixels * n_dev).
+
+    With mapspec.pose_gn_iters > 0 (and ba), the Schur-reduced
+    Gauss-Newton pose refinement (parallel/schur_ba.py) runs after the
+    Adam stages: each device builds the per-pose normal equations from
+    its own ray shard and ONE psum of (Wn x 7 x 7 + Wn x 7) floats
+    reduces the system — the pose block of the BA solved with a
+    collective 10^4x smaller than the feature-gradient psums.
 
     Returns (params, grids, cams, losses)."""
     n_dev = mesh.devices.size
@@ -107,6 +114,51 @@ def dp_map_optimize(params, grids, bound, window, cams0, masks, cam_lr_mask,
                 n_iters, n_dev, 2)
             (tree, opt), losses = jax.lax.scan(step, (tree, opt), keys)
             all_losses.append(losses)
+
+        if ba and mapspec.pose_gn_iters > 0 and mapspec.nice:
+            import dataclasses
+
+            from nice_slam_tpu.ops.grid import plain_interp
+            from nice_slam_tpu.parallel.schur_ba import gn_iteration
+
+            gn_rspec = dataclasses.replace(rspec, train_decoders=False)
+
+            def sharded_gn(tree_, window_, bound_, cams_, lrm_, keys_shard):
+                def per_device(tree__, win__, b__, cams__, lrm__, ks__):
+                    # each device builds the system from its own ray
+                    # shard (its own key); the psum reduce makes every
+                    # replica solve (and guard) the identical union
+                    # system.  No pcast needed: the GN path is
+                    # forward-mode only (no moment-scatter custom_vjp),
+                    # and the psum outputs are inferably replicated.
+                    reduce_fn = lambda t: jax.tree.map(
+                        lambda x: jax.lax.psum(x, axis), t)
+                    cams_new, sse = gn_iteration(
+                        tree__["params"], tree__["grids"], b__, win__,
+                        cams__, lrm__, ks__[0], camera, gn_rspec, mspec,
+                        mapspec.pose_gn_pixels, mapspec.pose_gn_damping,
+                        reduce_fn=reduce_fn)
+                    return cams_new, sse
+
+                rep = lambda t: jax.tree.map(lambda _: P(), t)
+                return jax.shard_map(
+                    per_device, mesh=mesh,
+                    in_specs=(rep(tree_), rep(window_), P(), P(), P(),
+                              P(axis)),
+                    out_specs=(P(), P()),
+                )(tree_, window_, bound_, cams_, lrm_, keys_shard)
+
+            def gn_step(cams_, ks):
+                return sharded_gn(tree, window, bound, cams_, cam_lr_mask,
+                                  ks)
+
+            nonlocal_key, kg = jax.random.split(nonlocal_key)
+            gn_keys = jax.random.split(
+                kg, mapspec.pose_gn_iters * n_dev).reshape(
+                mapspec.pose_gn_iters, n_dev, 2)
+            with plain_interp():
+                tree["cams"], _ = jax.lax.scan(gn_step, tree["cams"],
+                                               gn_keys)
 
         return (tree["params"], tree["grids"], tree["cams"],
                 jnp.concatenate(all_losses) if all_losses

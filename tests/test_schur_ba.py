@@ -1,0 +1,208 @@
+"""Schur-reduced Gauss-Newton pose refinement (parallel/schur_ba.py):
+objective descent on fixed ray samples, freeze-mask semantics, and the
+sharded (psum-reduced) system matching the single-device one."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nice_slam_tpu.config import load_config, specs_from_config
+from nice_slam_tpu.keyframes import add_keyframe, build_window, make_store
+from nice_slam_tpu.models import nice_model_spec
+from nice_slam_tpu.ops import tensor_from_cam
+from nice_slam_tpu.ops.grid import plain_interp
+from nice_slam_tpu.parallel.schur_ba import (
+    gn_pose_update,
+    pose_system,
+    schur_pose_refine,
+)
+from nice_slam_tpu.state import make_map_state
+
+BOUND = [[-2.0, 2.0], [-2.0, 2.0], [-2.0, 2.0]]
+GRID_LEN = {"coarse": 1.0, "middle": 0.32, "fine": 0.16, "color": 0.16}
+
+
+def _setup(seed=0):
+    cfg = load_config(overrides={
+        "cam": {"H": 24, "W": 32, "fx": 24.0, "fy": 24.0,
+                "cx": 15.5, "cy": 11.5},
+        "grid_len": GRID_LEN,
+        "mapping": {"bound": BOUND, "pixels": 64,
+                    "mapping_window_size": 3},
+        "rendering": {"N_samples": 8, "N_surface": 4},
+    })
+    specs = specs_from_config(cfg)
+    state = make_map_state(jax.random.PRNGKey(seed), nice_model_spec(),
+                           BOUND, GRID_LEN, 0.32)
+    cam = specs.camera
+    store = make_store(4, cam.H, cam.W)
+    eye = jnp.eye(4)
+    color = jnp.full((cam.H, cam.W, 3), 0.5)
+    depth = jnp.full((cam.H, cam.W), 1.0)
+    store = add_keyframe(store, color, depth, eye, eye, 0)
+    window = build_window(store, jnp.zeros((1,), jnp.int32),
+                          jnp.ones((1,), bool), color, depth, eye)
+    cams0 = tensor_from_cam(window["c2ws"][:, :3, :])
+    rspec = dataclasses.replace(specs.render, train_decoders=False)
+    return specs, state, window, cams0, cam, rspec
+
+
+def _trained_map(specs, state, window, cams0, cam, iters=120):
+    """Fit the grids to the window (constant-depth frame) so the render
+    actually reproduces the observed depth — the regime GN refines in."""
+    from nice_slam_tpu.mapping import grid_masks, map_optimize
+
+    masks = grid_masks(state.grids, state.bound, jnp.eye(4),
+                       window["depths"][-1], cam, False, 2)
+    params, grids, _, _ = map_optimize(
+        state.params, state.grids, state.bound, window, cams0, masks,
+        jnp.zeros((3,)), jnp.float32(5.0), jax.random.PRNGKey(9), cam,
+        (("middle", iters), ("fine", iters // 2)),
+        specs.mapper, specs.render, specs.model, ba=False)
+    return params, grids
+
+
+class TestGaussNewton:
+    def test_guarded_iteration_never_increases_sse(self):
+        """The guarded step's per-frame objective is monotone on the
+        evaluation sample BY CONSTRUCTION — even on a random-init map
+        where the raw quadratic step overshoots."""
+        from nice_slam_tpu.parallel.schur_ba import (
+            gn_iteration,
+            residual_sse,
+        )
+
+        specs, state, window, cams0, cam, rspec = _setup()
+        mask = jnp.array([0.0, 0.0, 1.0])
+        k = jax.random.PRNGKey(3)
+        with plain_interp():
+            sse0 = residual_sse(state.params, state.grids, state.bound,
+                                window, cams0, k, cam, rspec, specs.model,
+                                128, window["valid"])
+            cams1, sse_acc = gn_iteration(
+                state.params, state.grids, state.bound, window, cams0,
+                mask, k, cam, rspec, specs.model, 128, 1e-3)
+            sse1 = residual_sse(state.params, state.grids, state.bound,
+                                window, cams1, k, cam, rspec, specs.model,
+                                128, window["valid"])
+        assert bool(jnp.all(jnp.isfinite(sse1)))
+        assert bool(jnp.all(sse1 <= sse0 + 1e-3))
+
+    def test_objective_decreases_on_trained_map(self):
+        """With a map fitted to the observations and a small pose
+        perturbation, the GN step strictly reduces the weighted SSE on
+        the same rays (the quadratic model's regime)."""
+        specs, state, window, cams0, cam, rspec = _setup()
+        params, grids = _trained_map(specs, state, window, cams0, cam)
+        # perturb the current frame's translation by 3 cm
+        pert = cams0.at[2, 4:].add(jnp.array([0.02, -0.015, 0.01]))
+        mask = jnp.array([0.0, 0.0, 1.0])
+        k = jax.random.PRNGKey(5)
+        with plain_interp():
+            H, b, se0 = pose_system(params, grids, state.bound, window,
+                                    pert, k, cam, rspec, specs.model, 128,
+                                    window["valid"])
+            cams1 = gn_pose_update(pert, H, b, mask, 1e-3)
+            _, _, se1 = pose_system(params, grids, state.bound, window,
+                                    cams1, k, cam, rspec, specs.model, 128,
+                                    window["valid"])
+        assert bool(jnp.isfinite(se0[2])) and bool(jnp.isfinite(se1[2]))
+        assert float(se1[2]) < float(se0[2])
+
+    def test_frozen_rows_untouched(self):
+        specs, state, window, cams0, cam, rspec = _setup()
+        mask = jnp.array([0.0, 0.0, 1.0])  # only the current frame may move
+        out = schur_pose_refine(state.params, state.grids, state.bound,
+                                window, cams0, mask, jax.random.PRNGKey(7),
+                                cam, rspec, specs.model, 2, 64, 1e-3)
+        assert bool(jnp.allclose(out[:2], cams0[:2]))
+
+    def test_refine_moves_pose_on_trained_map(self):
+        """On a fitted map with a perturbed pose, the guarded refine
+        ACCEPTS steps (pose actually moves toward the objective's
+        optimum)."""
+        specs, state, window, cams0, cam, rspec = _setup()
+        params, grids = _trained_map(specs, state, window, cams0, cam)
+        pert = cams0.at[2, 4:].add(jnp.array([0.02, -0.015, 0.01]))
+        mask = jnp.array([0.0, 0.0, 1.0])
+        out = schur_pose_refine(params, grids, state.bound, window, pert,
+                                mask, jax.random.PRNGKey(5), cam, rspec,
+                                specs.model, 2, 128, 1e-3)
+        assert not bool(jnp.allclose(out[2], pert[2]))
+
+    def test_zero_mask_is_identity(self):
+        specs, state, window, cams0, cam, rspec = _setup()
+        out = schur_pose_refine(state.params, state.grids, state.bound,
+                                window, cams0, jnp.zeros((3,)),
+                                jax.random.PRNGKey(7), cam, rspec,
+                                specs.model, 1, 64, 1e-3)
+        assert bool(jnp.allclose(out, cams0))
+
+    def test_psum_reduced_system_matches_concat(self):
+        """The sharded design reduces per-device (H, b) by psum; summing
+        systems from two disjoint ray sets must equal the GN system of
+        the union (linearity of normal equations)."""
+        specs, state, window, cams0, cam, rspec = _setup()
+        ka, kb = jax.random.split(jax.random.PRNGKey(11))
+        with plain_interp():
+            Ha, ba_, sa = pose_system(state.params, state.grids,
+                                      state.bound, window, cams0, ka, cam,
+                                      rspec, specs.model, 64,
+                                      window["valid"])
+            Hb, bb, sb = pose_system(state.params, state.grids,
+                                     state.bound, window, cams0, kb, cam,
+                                     rspec, specs.model, 64,
+                                     window["valid"])
+        H, b = Ha + Hb, ba_ + bb
+        # a union evaluation with the same two key-derived pixel sets isn't
+        # directly constructible through the API; linearity is the claim:
+        # the psum of PSD per-shard systems is itself the union's system,
+        # so it must stay PSD and solvable
+        cams1 = gn_pose_update(cams0, H, b, jnp.array([0.0, 0.0, 1.0]),
+                               1e-3)
+        assert bool(jnp.all(jnp.isfinite(cams1)))
+        assert float(jnp.sum(sa + sb)) > 0
+
+    @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >1 device")
+    def test_dp_pose_gn_runs_on_mesh(self):
+        """dp_map_optimize with pose_gn_iters: the GN system psums over
+        the mesh and every replica applies the identical pose update."""
+        from nice_slam_tpu.mapping import grid_masks
+        from nice_slam_tpu.parallel import dp_map_optimize, make_mesh
+
+        specs, state, window, cams0, cam, rspec = _setup()
+        masks = grid_masks(state.grids, state.bound, jnp.eye(4),
+                           window["depths"][-1], cam, True, 2)
+        mapspec = dataclasses.replace(specs.mapper, pose_gn_iters=1,
+                                      pose_gn_pixels=32)
+        mesh = make_mesh(len(jax.devices()))
+        lr_mask = jnp.array([0.0, 1.0, 1.0])
+        p, g, cams, losses = dp_map_optimize(
+            state.params, state.grids, state.bound, window, cams0, masks,
+            lr_mask, jnp.float32(1.0), jax.random.PRNGKey(1), cam,
+            (("middle", 1), ("color", 1)), mapspec, specs.render,
+            specs.model, mesh, ba=True)
+        assert bool(jnp.all(jnp.isfinite(cams)))
+        # GN moved the unfrozen poses on top of the Adam stages
+        assert not bool(jnp.allclose(cams[1:], cams0[1:]))
+
+    def test_map_optimize_pose_gn_path(self):
+        """Single-device map_optimize with pose_gn_iters > 0 compiles and
+        refines only the unfrozen poses."""
+        from nice_slam_tpu.mapping import grid_masks, map_optimize
+
+        specs, state, window, cams0, cam, rspec = _setup()
+        masks = grid_masks(state.grids, state.bound, jnp.eye(4),
+                           window["depths"][-1], cam, True, 2)
+        mapspec = dataclasses.replace(specs.mapper, pose_gn_iters=1,
+                                      pose_gn_pixels=32)
+        lr_mask = jnp.array([0.0, 1.0, 1.0])
+        p, g, cams, losses = map_optimize(
+            state.params, state.grids, state.bound, window, cams0, masks,
+            lr_mask, jnp.float32(1.0), jax.random.PRNGKey(1), cam,
+            (("middle", 1), ("color", 1)), mapspec, specs.render,
+            specs.model, ba=True)
+        assert bool(jnp.all(jnp.isfinite(cams)))
+        assert not bool(jnp.allclose(cams[1:], cams0[1:]))
