@@ -84,6 +84,54 @@ class TestShapes:
         assert float(jnp.abs(g["color"]).sum()) == 0
 
 
+class TestPackedDecode:
+    """The block-diagonal packed fine/color decode (decoders.py
+    _packed_nice_apply) must match the sequential per-decoder path in
+    values AND gradients (it is the default on all backends)."""
+
+    @pytest.mark.parametrize("stage", ["fine", "color"])
+    def test_packed_matches_sequential(self, state, stage, monkeypatch):
+        from nice_slam_tpu.models.decoders import _packed_nice_apply
+
+        spec = nice_model_spec(matmul_precision="highest")
+        p = jax.random.uniform(jax.random.PRNGKey(7), (257, 3),
+                               minval=-1.8, maxval=1.8)
+
+        packed = _packed_nice_apply(state.params, spec, state.grids,
+                                    state.bound, p, stage)
+        monkeypatch.setenv("NICE_SLAM_TPU_PACKED", "0")
+        seq = model_apply(state.params, spec, state.grids, state.bound, p,
+                          stage)
+        np.testing.assert_allclose(np.asarray(packed), np.asarray(seq),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_packed_grads_match(self, state, monkeypatch):
+        from nice_slam_tpu.models.decoders import _packed_nice_apply
+
+        spec = nice_model_spec(matmul_precision="highest")
+        p = jax.random.uniform(jax.random.PRNGKey(9), (64, 3),
+                               minval=-1.5, maxval=1.5)
+
+        def loss_packed(params, grids):
+            raw = _packed_nice_apply(params, spec, grids, state.bound, p,
+                                     "color")
+            return jnp.sum(raw ** 2)
+
+        def loss_seq(params, grids):
+            raw = model_apply(params, spec, grids, state.bound, p, "color")
+            return jnp.sum(raw ** 2)
+
+        from jax.flatten_util import ravel_pytree
+
+        gp = jax.grad(loss_packed, argnums=(0, 1))(state.params, state.grids)
+        monkeypatch.setenv("NICE_SLAM_TPU_PACKED", "0")
+        gs = jax.grad(loss_seq, argnums=(0, 1))(state.params, state.grids)
+        flat_p, _ = ravel_pytree(gp)
+        flat_s, _ = ravel_pytree(gs)
+        np.testing.assert_allclose(np.asarray(flat_p), np.asarray(flat_s),
+                                   atol=3e-4, rtol=1e-3)
+
+
 class TestTorchEquivalence:
     """Build a torch replica of the reference MLP math, load OUR params into
     it, and check outputs match — verifying layer order, skip placement,
