@@ -37,9 +37,15 @@ def grid_coords(p_nor: jnp.ndarray, shape) -> jnp.ndarray:
     return jnp.clip(u, 0.0, sizes - 1.0)
 
 
-def _interp_impl(grid: jnp.ndarray, p_nor: jnp.ndarray) -> jnp.ndarray:
+def _interp_impl(grid: jnp.ndarray, p_nor: jnp.ndarray,
+                 gather_dtype=None) -> jnp.ndarray:
     """Plain trilinear interpolation (XLA autodiff backward: 8 gathers
-    whose transpose is 8 vertex-indexed scatter-adds of N rows each)."""
+    whose transpose is 8 vertex-indexed scatter-adds of N rows each).
+
+    gather_dtype: optional narrow dtype (bf16) for the corner GATHERS —
+    the 8-row random-access reads are HBM-bandwidth-bound, so halving the
+    row bytes halves the dominant cost of the forward.  The lerp itself
+    stays f32 (bf16 corner * f32 weight promotes to f32)."""
     nx, ny, nz, C = grid.shape
     u = grid_coords(p_nor, (nx, ny, nz))  # (N, 3)
 
@@ -48,7 +54,9 @@ def _interp_impl(grid: jnp.ndarray, p_nor: jnp.ndarray) -> jnp.ndarray:
     f = u - i0.astype(u.dtype)  # (N, 3) in [0, 1]
     i1 = jnp.minimum(i0 + 1, jnp.array([nx - 1, ny - 1, nz - 1]))
 
-    flat = grid.reshape(nx * ny * nz, C)
+    if gather_dtype is not None and grid.dtype != gather_dtype:
+        grid = grid.astype(gather_dtype)  # one dense ~MB convert vs
+    flat = grid.reshape(nx * ny * nz, C)  # 8 x N row reads
 
     def lin(ix, iy, iz):
         return (ix * ny + iy) * nz + iz
@@ -97,10 +105,11 @@ def _moment_scatter_bwd(res, g):
     grid, p_nor = res
     nx, ny, nz, C = grid.shape
 
-    # grad w.r.t. p_nor: exact autodiff of the forward with the grid frozen
-    # (8 gathers + elementwise — gathers were never the bottleneck)
+    # grad w.r.t. p_nor: autodiff of the forward with the grid frozen
+    # (8 gathers + elementwise; same gather dtype as the primal forward)
     _, pull = jax.vjp(
-        lambda pn: _interp_impl(jax.lax.stop_gradient(grid), pn), p_nor)
+        lambda pn: _interp_impl(jax.lax.stop_gradient(grid), pn,
+                                _gather_dtype()), p_nor)
     (gp,) = pull(g)
 
     u = grid_coords(p_nor, (nx, ny, nz))
@@ -130,13 +139,30 @@ def _moment_scatter_bwd(res, g):
     return gg, gp
 
 
+def _gather_dtype():
+    """Trace-time choice of the corner-gather dtype.  Default: bf16 on
+    TPU backends (the GEMMs already consume the features in bf16, so the
+    gather rounding adds nothing new to the decode; gradients stay exact
+    f32 through the moment-scatter backward).  Env overrides:
+    NICE_SLAM_TPU_INTERP_BF16=0 forces f32, =1 forces bf16 on any
+    backend (tests exercise the path on CPU)."""
+    env = os.environ.get("NICE_SLAM_TPU_INTERP_BF16", "")
+    if env == "0":
+        return None
+    if env == "1":
+        return jnp.bfloat16
+    return (jnp.bfloat16 if jax.default_backend() in ("tpu", "axon")
+            else None)
+
+
 @jax.custom_vjp
 def _interp_mscatter(grid, p_nor):
-    return _interp_impl(grid, p_nor)
+    return _interp_impl(grid, p_nor, _gather_dtype())
 
 
 _interp_mscatter.defvjp(lambda grid, p_nor:
-                        (_interp_impl(grid, p_nor), (grid, p_nor)),
+                        (_interp_impl(grid, p_nor, _gather_dtype()),
+                         (grid, p_nor)),
                         _moment_scatter_bwd)
 
 

@@ -9,6 +9,9 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # Pallas kernel (TPU) uses MXU-speed matmuls whose rounding differs from
 # the f32-highest jnp path; TPU-specific kernel tests opt back in.
 os.environ.setdefault("NICE_SLAM_TPU_FUSED", "0")
+# likewise pin the bf16 corner-gather fast path off (TPU default-on):
+# oracle comparisons need the f32 gather; test_ops opts back in to cover it
+os.environ.setdefault("NICE_SLAM_TPU_INTERP_BF16", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

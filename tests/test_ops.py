@@ -308,6 +308,33 @@ class TestGrid:
         np.testing.assert_allclose(np.asarray(final), np.asarray(final_ref),
                                    rtol=1e-5, atol=1e-6)
 
+    def test_bf16_gather_path(self, monkeypatch):
+        # NICE_SLAM_TPU_INTERP_BF16=1 (the TPU default) gathers bf16
+        # corner rows but keeps the lerp and ALL gradients f32.  Forward
+        # must match f32 to bf16 rounding; grid gradient must stay EXACT
+        # f32 moment-scatter (it never sees the rounded corners).
+        rng = np.random.RandomState(5)
+        g = jnp.asarray(rng.randn(6, 5, 7, 8).astype(np.float32)) * 0.1
+        p = jnp.asarray(rng.rand(200, 3).astype(np.float32) * 2.2 - 1.1)
+        ct = jnp.asarray(rng.randn(200, 8).astype(np.float32))
+
+        f32_fwd = gridops._interp_impl(g, p)
+        f32_gg = jax.grad(
+            lambda a: jnp.sum(gridops._interp_mscatter(a, p) * ct))(g)
+
+        monkeypatch.setenv("NICE_SLAM_TPU_INTERP_BF16", "1")
+        lp_fwd = gridops._interp_mscatter(g, p)
+        lp_gg = jax.grad(
+            lambda a: jnp.sum(gridops._interp_mscatter(a, p) * ct))(g)
+
+        assert lp_fwd.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(lp_fwd), np.asarray(f32_fwd),
+                                   atol=2e-3, rtol=2e-2)
+        # the moment scatter runs on the f32 cotangent + f32 weights:
+        # identical regardless of the forward's gather dtype
+        np.testing.assert_allclose(np.asarray(lp_gg), np.asarray(f32_gg),
+                                   rtol=1e-6, atol=1e-7)
+
     def test_grid_shape_for_bound(self):
         # Replica room0 worked example (SURVEY.md §2.4)
         bound = [[-2.9, 8.94], [-3.2, 5.76], [-3.5, 3.54]]
