@@ -498,6 +498,22 @@ def _packed_nice_apply(params, spec: ModelSpec, grids, bound, p, stage):
     return jnp.concatenate([rgb, occ[..., None]], axis=-1)
 
 
+def _pack_fc_interp(grids) -> bool:
+    """Trace-time choice: fetch fine+color features through one
+    lane-packed interp (TPU default; NICE_SLAM_TPU_PACK_FC=0/1 overrides,
+    tests pin 0 and opt back in).  Requires same-shaped fine/color grids
+    (same grid_len, the default everywhere)."""
+    import os
+
+    env = os.environ.get("NICE_SLAM_TPU_PACK_FC", "")
+    if env == "0":
+        return False
+    if not ("fine" in grids and "color" in grids
+            and grids["fine"].shape == grids["color"].shape):
+        return False
+    return env == "1" or jax.default_backend() in ("tpu", "axon")
+
+
 def _use_packed(spec: ModelSpec, stage: str) -> bool:
     import os
 
@@ -553,6 +569,21 @@ def model_apply(params, spec: ModelSpec, grids, bound, p: jnp.ndarray,
         return jnp.concatenate(
             [jnp.zeros(p.shape[:-1] + (3,)), occ[..., None]], axis=-1)
     if stage == "color":
+        if _pack_fc_interp(grids):
+            # fetch fine+color features through ONE packed interp: the
+            # lane-concatenated grid halves both the corner-gather rows
+            # and — the real win — the moment-scatter rows of the grid
+            # backward (scatter cost is row-count-bound; see ops/grid.py
+            # and tools/microbench_scatter.py).  Exact same features.
+            p_nor = normalize_coords(p, bound)
+            c_mid = trilinear_interp(grids["middle"], p_nor)
+            c_fc = trilinear_interp(
+                jnp.concatenate([grids["fine"], grids["color"]], axis=-1),
+                p_nor)
+            C = grids["fine"].shape[-1]
+            feats = {"middle": c_mid, "fine": c_fc[:, :C],
+                     "color": c_fc[:, C:]}
+            return model_apply_feats(params, spec, p, feats, "color")
         raw = apply_mlp(params["color"], dspecs["color"], p, grids, bound)
         fine_occ = apply_mlp(params["fine"], dspecs["fine"], p, grids, bound)
         middle_occ = apply_mlp(params["middle"], dspecs["middle"], p, grids, bound)

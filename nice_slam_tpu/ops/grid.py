@@ -83,6 +83,52 @@ def _interp_impl(grid: jnp.ndarray, p_nor: jnp.ndarray,
     return c0 * (1 - fx) + c1 * fx
 
 
+def _corner_weights(f):
+    """(N, 3) fractional offsets -> (N, 8) trilinear corner weights in the
+    (a, b, c) = x-major corner order used throughout this module."""
+    fx, fy, fz = f[:, 0:1], f[:, 1:2], f[:, 2:3]
+    wx = jnp.concatenate([1.0 - fx, fx], axis=1)
+    wy = jnp.concatenate([1.0 - fy, fy], axis=1)
+    wz = jnp.concatenate([1.0 - fz, fz], axis=1)
+    return (wx[:, :, None, None] * wy[:, None, :, None]
+            * wz[:, None, None, :]).reshape(-1, 8)
+
+
+def _interp_impl_mirror(grid: jnp.ndarray, p_nor: jnp.ndarray,
+                        gather_dtype=None) -> jnp.ndarray:
+    """Trilinear interpolation through a CELL-CORNER MIRROR: a dense
+    (nx-1, ny-1, nz-1, 8*C) buffer whose row for cell (x, y, z) holds all
+    8 corner features, built with 8 shifted slices + concat.  One row
+    gather per point then fetches every corner at once.
+
+    Why: on TPU the corner fetch cost is per-ROW (a 128-lane row gather
+    costs the same as a 32-lane one; measured in
+    tools/microbench_scatter.py), so 1 wide gather beats 8 narrow ones
+    ~1.6x even counting the mirror build — and XLA CSEs the build across
+    every interp of the same grid inside one program (all iterations of a
+    mapping scan see one build per grid per iteration).  Numerics: exact
+    same corner values; the lerp is the Σ w_k·c_k form instead of the
+    nested form (float reassociation only).  Requires min(n) >= 2
+    (callers route tiny grids to _interp_impl)."""
+    nx, ny, nz, C = grid.shape
+    u = grid_coords(p_nor, (nx, ny, nz))
+    i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0,
+                  jnp.array([nx - 2, ny - 2, nz - 2]))
+    f = u - i0.astype(u.dtype)
+
+    if gather_dtype is not None and grid.dtype != gather_dtype:
+        grid = grid.astype(gather_dtype)
+    mirror = jnp.concatenate(
+        [grid[a:nx - 1 + a, b:ny - 1 + b, c:nz - 1 + c]
+         for a in (0, 1) for b in (0, 1) for c in (0, 1)],
+        axis=-1).reshape((nx - 1) * (ny - 1) * (nz - 1), 8 * C)
+
+    cell = (i0[:, 0] * (ny - 1) + i0[:, 1]) * (nz - 1) + i0[:, 2]
+    rows = mirror[cell].reshape(-1, 8, C).astype(p_nor.dtype)  # (N, 8, C)
+    w = _corner_weights(f)                                     # (N, 8)
+    return jnp.einsum("nkc,nk->nc", rows, w)
+
+
 # ---------------------------------------------------------------------------
 # Moment-scatter backward
 #
@@ -106,22 +152,19 @@ def _moment_scatter_bwd(res, g):
     nx, ny, nz, C = grid.shape
 
     # grad w.r.t. p_nor: autodiff of the forward with the grid frozen
-    # (8 gathers + elementwise; same gather dtype as the primal forward)
+    # (same impl + gather dtype as the primal forward, so the mirror /
+    # corner rows are CSE'd with the fwd's inside one program)
+    fwd = _fwd_impl(grid.shape)
     _, pull = jax.vjp(
-        lambda pn: _interp_impl(jax.lax.stop_gradient(grid), pn,
-                                _gather_dtype()), p_nor)
+        lambda pn: fwd(jax.lax.stop_gradient(grid), pn,
+                       _gather_dtype()), p_nor)
     (gp,) = pull(g)
 
     u = grid_coords(p_nor, (nx, ny, nz))
     i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0,
                   jnp.array([nx - 2, ny - 2, nz - 2]))
     f = u - i0.astype(u.dtype)
-    fx, fy, fz = f[:, 0:1], f[:, 1:2], f[:, 2:3]
-    wx = jnp.concatenate([1.0 - fx, fx], axis=1)            # (N, 2)
-    wy = jnp.concatenate([1.0 - fy, fy], axis=1)
-    wz = jnp.concatenate([1.0 - fz, fz], axis=1)
-    w = (wx[:, :, None, None] * wy[:, None, :, None]
-         * wz[:, None, None, :]).reshape(-1, 8)             # (N, 8)
+    w = _corner_weights(f)                                  # (N, 8)
     vals = (w[:, :, None] * g[:, None, :]).reshape(-1, 8 * C)
 
     cell = (i0[:, 0] * (ny - 1) + i0[:, 1]) * (nz - 1) + i0[:, 2]
@@ -155,13 +198,26 @@ def _gather_dtype():
             else None)
 
 
+def _fwd_impl(shape):
+    """Trace-time choice of the interp forward: the cell-mirror single
+    gather (TPU default; see _interp_impl_mirror) or the plain 8-gather
+    lerp.  NICE_SLAM_TPU_MIRROR=0/1 overrides (tests pin 0 on CPU for
+    bit-stable oracle comparisons and opt back in to cover the mirror)."""
+    nx, ny, nz, _ = shape
+    env = os.environ.get("NICE_SLAM_TPU_MIRROR", "")
+    on = (env == "1" or (env != "0"
+                         and jax.default_backend() in ("tpu", "axon")))
+    return _interp_impl_mirror if on and min(nx, ny, nz) >= 2 \
+        else _interp_impl
+
+
 @jax.custom_vjp
 def _interp_mscatter(grid, p_nor):
-    return _interp_impl(grid, p_nor, _gather_dtype())
+    return _fwd_impl(grid.shape)(grid, p_nor, _gather_dtype())
 
 
 _interp_mscatter.defvjp(lambda grid, p_nor:
-                        (_interp_impl(grid, p_nor, _gather_dtype()),
+                        (_fwd_impl(grid.shape)(grid, p_nor, _gather_dtype()),
                          (grid, p_nor)),
                         _moment_scatter_bwd)
 

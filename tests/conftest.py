@@ -12,6 +12,11 @@ os.environ.setdefault("NICE_SLAM_TPU_FUSED", "0")
 # likewise pin the bf16 corner-gather fast path off (TPU default-on):
 # oracle comparisons need the f32 gather; test_ops opts back in to cover it
 os.environ.setdefault("NICE_SLAM_TPU_INTERP_BF16", "0")
+# and the cell-mirror gather (TPU default-on; float-reassociated lerp):
+# test_ops opts back in to cover it against the plain path
+os.environ.setdefault("NICE_SLAM_TPU_MIRROR", "0")
+# and the packed fine+color interp (TPU default-on): test_models opts in
+os.environ.setdefault("NICE_SLAM_TPU_PACK_FC", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -132,6 +132,39 @@ class TestPackedDecode:
                                    atol=3e-4, rtol=1e-3)
 
 
+class TestPackedFCInterp:
+    """The lane-packed fine+color interp (NICE_SLAM_TPU_PACK_FC=1, the
+    TPU default for the color stage) must match the per-grid interp path
+    in values and gradients up to float reassociation."""
+
+    def test_values_and_grads_match(self, state, monkeypatch):
+        spec = nice_model_spec(matmul_precision="highest")
+        p = jax.random.uniform(jax.random.PRNGKey(13), (123, 3),
+                               minval=-1.8, maxval=1.8)
+
+        def loss(params, grids):
+            raw = model_apply(params, spec, grids, state.bound, p, "color")
+            return jnp.sum(raw ** 2)
+
+        from jax.flatten_util import ravel_pytree
+
+        monkeypatch.setenv("NICE_SLAM_TPU_PACK_FC", "1")
+        v_pk = model_apply(state.params, spec, state.grids, state.bound, p,
+                           "color")
+        g_pk = jax.grad(loss, argnums=(0, 1))(state.params, state.grids)
+        monkeypatch.setenv("NICE_SLAM_TPU_PACK_FC", "0")
+        v_sq = model_apply(state.params, spec, state.grids, state.bound, p,
+                           "color")
+        g_sq = jax.grad(loss, argnums=(0, 1))(state.params, state.grids)
+
+        np.testing.assert_allclose(np.asarray(v_pk), np.asarray(v_sq),
+                                   atol=1e-5, rtol=1e-5)
+        flat_p, _ = ravel_pytree(g_pk)
+        flat_s, _ = ravel_pytree(g_sq)
+        np.testing.assert_allclose(np.asarray(flat_p), np.asarray(flat_s),
+                                   atol=1e-4, rtol=1e-3)
+
+
 class TestTorchEquivalence:
     """Build a torch replica of the reference MLP math, load OUR params into
     it, and check outputs match — verifying layer order, skip placement,

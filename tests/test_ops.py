@@ -335,6 +335,35 @@ class TestGrid:
         np.testing.assert_allclose(np.asarray(lp_gg), np.asarray(f32_gg),
                                    rtol=1e-6, atol=1e-7)
 
+    def test_mirror_gather_path(self, monkeypatch):
+        # NICE_SLAM_TPU_MIRROR=1 (the TPU default) interpolates through
+        # the cell-corner mirror: same corner values, Σ w_k·c_k lerp
+        # (float reassociation only).  Gradients: grid grad is the same
+        # moment scatter (exact match); p_nor grad differs only by the
+        # same reassociation.
+        rng = np.random.RandomState(11)
+        g = jnp.asarray(rng.randn(6, 5, 7, 8).astype(np.float32)) * 0.1
+        p = jnp.asarray(rng.rand(200, 3).astype(np.float32) * 2.2 - 1.1)
+        ct = jnp.asarray(rng.randn(200, 8).astype(np.float32))
+
+        f32_fwd = gridops._interp_impl(g, p)
+        f32_gg, f32_gp = jax.grad(
+            lambda a, b: jnp.sum(gridops._interp_mscatter(a, b) * ct),
+            argnums=(0, 1))(g, p)
+
+        monkeypatch.setenv("NICE_SLAM_TPU_MIRROR", "1")
+        m_fwd = gridops._interp_mscatter(g, p)
+        m_gg, m_gp = jax.grad(
+            lambda a, b: jnp.sum(gridops._interp_mscatter(a, b) * ct),
+            argnums=(0, 1))(g, p)
+
+        np.testing.assert_allclose(np.asarray(m_fwd), np.asarray(f32_fwd),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(m_gg), np.asarray(f32_gg),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(m_gp), np.asarray(f32_gp),
+                                   rtol=1e-4, atol=1e-5)
+
     def test_grid_shape_for_bound(self):
         # Replica room0 worked example (SURVEY.md §2.4)
         bound = [[-2.9, 8.94], [-3.2, 5.76], [-3.5, 3.54]]

@@ -143,5 +143,88 @@ def main():
         print(line)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Gather-side variants (run with --gather): the interp forward's 8 corner
+# gathers vs 4 z-pair gathers (corners (...,z0),(...,z0+1) are contiguous
+# in the [Nx,Ny,Nz,C] layout -> one 2C-wide slice per xy-corner).
+
+def gather8(flat, lin_idx8, C):
+    # lin_idx8: (8, N) vertex row ids
+    return [flat[lin_idx8[k]] for k in range(8)]
+
+
+def gather4_zpair(grid2d, row4, col0, C):
+    """grid2d: (nx*ny, nz*C); row4: (4, N) xy-row ids; col0: (N,) = z0*C.
+    Returns 4 arrays (N, 2C)."""
+    import jax.lax as lax
+    outs = []
+    for k in range(4):
+        idx = jnp.stack([row4[k], col0], axis=1)  # (N, 2)
+        outs.append(lax.gather(
+            grid2d, idx,
+            lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(0,),
+                start_index_map=(0, 1)),
+            slice_sizes=(1, 2 * C),
+            mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS))
+    return outs
+
+
+def main_gather():
+    print(f"backend: {jax.default_backend()}  [gather variants]")
+    key = jax.random.PRNGKey(0)
+    C = 32
+    N = 48000
+    for name, shape, dt in (("fine/f32", (32, 26, 32), jnp.float32),
+                            ("fine/bf16", (32, 26, 32), jnp.bfloat16),
+                            ("packed64/bf16", (32, 26, 32), jnp.bfloat16)):
+        nx, ny, nz = shape
+        Ceff = 64 if name.startswith("packed") else C
+        k1, k2 = jax.random.split(key)
+        grid = jax.random.normal(k1, (nx, ny, nz, Ceff)).astype(dt)
+        i0 = jnp.stack([
+            jax.random.randint(k2, (N,), 0, nx - 1),
+            jax.random.randint(jax.random.fold_in(k2, 1), (N,), 0, ny - 1),
+            jax.random.randint(jax.random.fold_in(k2, 2), (N,), 0, nz - 1),
+        ], axis=1)
+
+        flat = grid.reshape(-1, Ceff)
+
+        def lin(ix, iy, iz):
+            return (ix * ny + iy) * nz + iz
+
+        x0, y0, z0 = i0[:, 0], i0[:, 1], i0[:, 2]
+        idx8 = jnp.stack([lin(x0 + a, y0 + b, z0 + c)
+                          for a in (0, 1) for b in (0, 1) for c in (0, 1)])
+        grid2d = grid.reshape(nx * ny, nz * Ceff)
+        row4 = jnp.stack([(x0 + a) * ny + (y0 + b)
+                          for a in (0, 1) for b in (0, 1)])
+        col0 = z0 * Ceff
+
+        def f8(flat_, idx8_):
+            return sum(gather8(flat_, idx8_, Ceff)).astype(jnp.float32)
+
+        def f4(g2d_, row4_, col0_):
+            return sum(gather4_zpair(g2d_, row4_, col0_, Ceff)).astype(
+                jnp.float32)
+
+        t8 = timeit(jax.jit(f8), flat, idx8)
+        t4 = timeit(jax.jit(f4), grid2d, row4, col0)
+        # parity
+        a = jax.jit(f8)(flat, idx8)
+        b = jax.jit(f4)(grid2d, row4, col0)
+        b = b[:, :Ceff] + b[:, Ceff:]
+        pair_sum = a  # 8 corners summed = 4 pairs summed both halves
+        np.testing.assert_allclose(np.asarray(b), np.asarray(pair_sum),
+                                   rtol=1e-3, atol=1e-2)
+        print(f"{name:14s} gather8 {t8:7.3f} ms   gather4-zpair {t4:7.3f} ms")
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--gather" in sys.argv:
+        main_gather()
+    else:
+        main()
