@@ -225,12 +225,14 @@ def _dense(x, layer, precision: str = "default"):
 
 
 def apply_mlp(params, spec: DecoderSpec, p: jnp.ndarray, grids, bound,
-              c=None):
+              c=None, e=None):
     """Coordinate MLP with per-layer grid-feature injection.
 
     p: (N, 3) world coords. Returns (N, 4) if color else (N,).
     c: optional precomputed grid features (N, c_dim) — used by the
-    sharded-grid path, where the gather psums over a mesh axis."""
+    sharded-grid path, where the gather psums over a mesh axis.
+    e: optional precomputed embedding (N, emb) — used by the packed
+    multi-decoder embed (one sin GEMM for all decoders of a stage)."""
     if spec.c_dim != 0 and c is None:
         p_nor = normalize_coords(p, bound)
         c = trilinear_interp(grids[spec.name], p_nor)
@@ -239,7 +241,8 @@ def apply_mlp(params, spec: DecoderSpec, p: jnp.ndarray, grids, bound,
                 trilinear_interp(grids["middle"], p_nor))
             c = jnp.concatenate([c, c_mid], axis=-1)
 
-    e = apply_embedding(params["embed"], p, spec.embed, spec.name)
+    if e is None:
+        e = apply_embedding(params["embed"], p, spec.embed, spec.name)
     h = e
     for i in range(spec.n_blocks):
         h = jax.nn.relu(_dense(h, params["pts"][i], spec.precision))
@@ -276,16 +279,34 @@ def model_apply_feats(params, spec: ModelSpec, p: jnp.ndarray, feats,
     (parallel/grid_sharded.py), where each feature row is a psum over the
     mesh's model axis.  Semantics mirror model_apply: the fine decoder
     consumes [fine, stop_grad(middle)] (reference decoder.py:182-187), the
-    color stage's occupancy is middle+fine (decoder.py:336-341)."""
+    color stage's occupancy is middle+fine (decoder.py:336-341).
+
+    When every decoder of a multi-decoder stage uses the fourier
+    embedding, their sin(p @ B_d) embeds ride ONE packed GEMM + sine —
+    bit-identical to separate embeds (the contraction dim is 3, so each
+    output column's 3-term sum is computed in the same order either
+    way), but one kernel launch instead of 2-3."""
     dspecs = spec.decoder_specs()
+    names = {"fine": ["middle", "fine"],
+             "color": ["middle", "fine", "color"]}.get(stage, [])
+    embeds = {}
+    if len(names) > 1 and all(dspecs[n].embed == "fourier" for n in names):
+        B_all = jnp.concatenate([params[n]["embed"]["B"] for n in names],
+                                axis=1)
+        e_all = jnp.sin(jnp.matmul(p, B_all, precision="highest"))
+        off = 0
+        for n in names:
+            d = embedding_dim("fourier", n)
+            embeds[n] = e_all[:, off:off + d]
+            off += d
 
     def occ_mf():
         c_full = jnp.concatenate(
             [feats["fine"], jax.lax.stop_gradient(feats["middle"])], axis=-1)
         fine_occ = apply_mlp(params["fine"], dspecs["fine"], p, None, None,
-                             c=c_full)
+                             c=c_full, e=embeds.get("fine"))
         mid_occ = apply_mlp(params["middle"], dspecs["middle"], p, None,
-                            None, c=feats["middle"])
+                            None, c=feats["middle"], e=embeds.get("middle"))
         return fine_occ + mid_occ
 
     if stage == "coarse":
@@ -303,7 +324,7 @@ def model_apply_feats(params, spec: ModelSpec, p: jnp.ndarray, feats,
             [jnp.zeros(p.shape[:-1] + (3,)), occ_mf()[..., None]], axis=-1)
     if stage == "color":
         raw = apply_mlp(params["color"], dspecs["color"], p, None, None,
-                        c=feats["color"])
+                        c=feats["color"], e=embeds.get("color"))
         return jnp.concatenate([raw[..., :3], occ_mf()[..., None]], axis=-1)
     raise ValueError(f"unknown stage {stage}")
 
@@ -562,31 +583,28 @@ def model_apply(params, spec: ModelSpec, grids, bound, p: jnp.ndarray,
         occ = apply_mlp(params["middle"], dspecs["middle"], p, grids, bound)
         return jnp.concatenate(
             [jnp.zeros(p.shape[:-1] + (3,)), occ[..., None]], axis=-1)
-    if stage == "fine":
-        fine_occ = apply_mlp(params["fine"], dspecs["fine"], p, grids, bound)
-        middle_occ = apply_mlp(params["middle"], dspecs["middle"], p, grids, bound)
-        occ = fine_occ + middle_occ
-        return jnp.concatenate(
-            [jnp.zeros(p.shape[:-1] + (3,)), occ[..., None]], axis=-1)
-    if stage == "color":
-        if _pack_fc_interp(grids):
+    if stage in ("fine", "color"):
+        # multi-decoder stages route through the feats path: features
+        # interpolated once per grid (the fine decoder's stop_grad middle
+        # concat reuses the live middle features) and the decoders'
+        # fourier embeds packed into one GEMM+sine — both bit-identical
+        # to the per-decoder formulation.
+        p_nor = normalize_coords(p, bound)
+        feats = {"middle": trilinear_interp(grids["middle"], p_nor)}
+        if stage == "color" and _pack_fc_interp(grids):
             # fetch fine+color features through ONE packed interp: the
             # lane-concatenated grid halves both the corner-gather rows
             # and — the real win — the moment-scatter rows of the grid
             # backward (scatter cost is row-count-bound; see ops/grid.py
             # and tools/microbench_scatter.py).  Exact same features.
-            p_nor = normalize_coords(p, bound)
-            c_mid = trilinear_interp(grids["middle"], p_nor)
             c_fc = trilinear_interp(
                 jnp.concatenate([grids["fine"], grids["color"]], axis=-1),
                 p_nor)
             C = grids["fine"].shape[-1]
-            feats = {"middle": c_mid, "fine": c_fc[:, :C],
-                     "color": c_fc[:, C:]}
-            return model_apply_feats(params, spec, p, feats, "color")
-        raw = apply_mlp(params["color"], dspecs["color"], p, grids, bound)
-        fine_occ = apply_mlp(params["fine"], dspecs["fine"], p, grids, bound)
-        middle_occ = apply_mlp(params["middle"], dspecs["middle"], p, grids, bound)
-        return jnp.concatenate(
-            [raw[..., :3], (fine_occ + middle_occ)[..., None]], axis=-1)
+            feats["fine"], feats["color"] = c_fc[:, :C], c_fc[:, C:]
+        else:
+            feats["fine"] = trilinear_interp(grids["fine"], p_nor)
+            if stage == "color":
+                feats["color"] = trilinear_interp(grids["color"], p_nor)
+        return model_apply_feats(params, spec, p, feats, stage)
     raise ValueError(f"unknown stage {stage}")

@@ -126,7 +126,9 @@ def _interp_impl_mirror(grid: jnp.ndarray, p_nor: jnp.ndarray,
     cell = (i0[:, 0] * (ny - 1) + i0[:, 1]) * (nz - 1) + i0[:, 2]
     rows = mirror[cell].reshape(-1, 8, C).astype(p_nor.dtype)  # (N, 8, C)
     w = _corner_weights(f)                                     # (N, 8)
-    return jnp.einsum("nkc,nk->nc", rows, w)
+    # explicit VPU multiply-sum, NOT einsum/dot: an 8-long contraction
+    # lowered onto the MXU would round the f32 weights/features to bf16
+    return jnp.sum(rows * w[:, :, None], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -151,13 +153,16 @@ def _moment_scatter_bwd(res, g):
     grid, p_nor = res
     nx, ny, nz, C = grid.shape
 
-    # grad w.r.t. p_nor: autodiff of the forward with the grid frozen
-    # (same impl + gather dtype as the primal forward, so the mirror /
-    # corner rows are CSE'd with the fwd's inside one program)
+    # grad w.r.t. p_nor: autodiff of the forward with the grid frozen —
+    # ALWAYS from f32 corners, even when the primal forward gathers bf16.
+    # d(interp)/dp is built from corner DIFFERENCES; on a converged
+    # (smooth) grid adjacent corners nearly cancel, so bf16 corner
+    # rounding would be amplified into the pose gradients that drive
+    # tracking.  The f32 gather costs the same (corner-fetch cost is
+    # per-row, not per-byte).
     fwd = _fwd_impl(grid.shape)
     _, pull = jax.vjp(
-        lambda pn: fwd(jax.lax.stop_gradient(grid), pn,
-                       _gather_dtype()), p_nor)
+        lambda pn: fwd(jax.lax.stop_gradient(grid), pn, None), p_nor)
     (gp,) = pull(g)
 
     u = grid_coords(p_nor, (nx, ny, nz))

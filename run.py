@@ -32,6 +32,8 @@ def main():
                     help="limit the number of frames processed")
     ap.add_argument("--resume", type=str, default=None,
                     help="checkpoint to resume from")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="override tpu.seed (A/B quality studies)")
     ap.add_argument("--no-mesh", action="store_true",
                     help="skip mesh extraction")
     ap.add_argument("--vis", action="store_true",
@@ -57,6 +59,8 @@ def main():
                             [[0.0, 4.0], [0.0, 3.0], [0.0, 4.0]]},
             "data": {"output": "output/synthetic"},
         }
+    if args.seed is not None:
+        overrides.setdefault("tpu", {})["seed"] = args.seed
     if args.input_folder:
         overrides.setdefault("data", {})["input_folder"] = args.input_folder
     if args.output:

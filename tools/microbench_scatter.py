@@ -2,11 +2,25 @@
 """Microbenchmark the grid-gradient backward alternatives on the live
 backend: the moment scatter + pad-shift fold (current), a conv-based
 fold, and a one-hot matmul scatter for small-cell-count grids.
+`--gather` benchmarks the interp FORWARD's corner-fetch variants.
 
 These are the ops the round-1/round-2 xprof traces put at >40% of the
 mapping step (see README + tools/xprof_summary.py).  Run on the TPU:
 
-    python tools/microbench_scatter.py
+    python tools/microbench_scatter.py [--gather]
+
+Measured results (v5e, 48k points, Replica-budget shapes):
+- scatter cost is ROW-COUNT-bound: ~0.84 ms per 48k-row scatter
+  regardless of cell count (567 or 24025) or row width (256 or 512).
+- one-hot MXU scatter only wins at tiny cell counts (coarse 0.50 vs
+  0.84 ms) and loses at middle size (1.09 ms); f32 operand traffic
+  dominates.
+- pad-shift fold (0.275 ms) beats the conv-kernel fold (0.318 ms).
+- gather cost is PER-ROW, not per-byte: 8 narrow corner gathers 0.95 ms
+  vs ONE 8C-row gather from a cell-corner mirror 0.60 ms (incl. the
+  dense mirror build) — the basis of ops/grid.py:_interp_impl_mirror.
+- a 2-operand-dim lax.gather (z-pair slices) lowers catastrophically
+  (230 ms) — never use start_index_map with a lane-dim start on TPU.
 """
 
 from __future__ import annotations
