@@ -42,7 +42,7 @@ def main():
     from nice_slam_tpu.engine import SlamEngine
 
     n_warm = 26    # through the first BA-active mapping event (>4 kfs)
-    n_frames = n_warm + 20
+    n_frames = n_warm + 5
     # dataset is one frame longer than the measured range: the engine's
     # final-frame path (checkpoint save + color refine) must not fire
     # inside the measured segment — it fetches the whole map state
@@ -78,8 +78,12 @@ def main():
     # first-frame mapping, steady tracking/mapping/coarse-mapping, AND the
     # local-BA mapping variant (activates once >4 keyframes exist — first
     # at the frame-25 event with keyframe_every=5).
+    print("warmup start", flush=True)
     eng.run(n_frames=n_warm)
+    print("warmup done", flush=True)
     eng.timings = {k: 0.0 for k in eng.timings}
+    import jax.profiler as _prof
+    _prof.start_trace("/tmp/xprof_r2")
 
     # Pre-render + pre-upload all measured frames as per-group stacks so
     # I/O is fully excluded from the measured segment (jnp.asarray uploads
@@ -106,19 +110,19 @@ def main():
     t0 = time.perf_counter()
     for (lo, hi, colors, depths, gts) in groups:
         eng.gt_c2w[lo:hi + 1] = gts
+        eng._est_dev, losses = track_frames_group(
+            eng.map_state.params, eng.map_state.grids, eng.bound,
+            eng._est_dev, lo, colors, depths, eng._key_base,
+            eng._next_step(), s.camera, s.track, s.render, s.model)
+        np.asarray(jax.device_get(losses))
         if hi % eng.every_frame == 0 or hi == n_frames - 1:
-            # tracking + mapping event in ONE dispatch + ONE barrier
-            # (mapping.track_map_group — the engine's grouped fast path)
             eng.mapping_event(hi, colors, depths, gts[-1],
-                              frame_sel=hi - lo, track_group_start=lo)
-        else:
-            eng._est_dev, losses = track_frames_group(
-                eng.map_state.params, eng.map_state.grids, eng.bound,
-                eng._est_dev, lo, colors, depths, eng._key_base,
-                eng._next_step(), s.camera, s.track, s.render, s.model)
-            np.asarray(jax.device_get(losses))
+                              frame_sel=hi - lo)
         eng.frames_done = hi + 1
     device_time = time.perf_counter() - t0
+    print("measured loop done", flush=True)
+    _prof.stop_trace()
+    print("trace stopped", flush=True)
     frames = n_frames - n_warm
     fps = frames / device_time
     import sys

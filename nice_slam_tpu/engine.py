@@ -95,6 +95,10 @@ class SlamEngine:
                         if sync in ("loose", "free") else 0)
         self.grouped_tracking = bool(
             cfg["tpu"].get("grouped_tracking", True))
+        # fuse each frame group's tracking scan into its mapping-event
+        # dispatch (mapping.track_map_group) — bit-identical, one fewer
+        # dispatch+barrier per group; off only for A/B testing
+        self.fuse_track_map = bool(cfg["tpu"].get("fuse_track_map", True))
         # ray-data-parallel mapping over a device mesh (tpu.data_parallel)
         self.mesh = None
         if cfg["tpu"].get("data_parallel") and len(jax.devices()) > 1:
@@ -300,31 +304,56 @@ class SlamEngine:
                  coarse: bool = False, frame_sel: int = 0,
                  insert_kf: bool = False, gt_pose=None,
                  coarse_spec=None, coarse_iters: int = 0,
-                 coarse_lr_factor: float = 1.0):
+                 coarse_lr_factor: float = 1.0,
+                 track_group_start: Optional[int] = None):
         """One mapping optimization: keyframe selection, frustum masks,
         staged optimization and BA pose write-back fused into a single
         dispatch (mapping.mapping_step).  With insert_kf/coarse_spec the
         keyframe insertion and the whole coarse-mapper optimization ride
-        the SAME dispatch (one barrier per mapping event)."""
+        the SAME dispatch (one barrier per mapping event); with
+        track_group_start the frame group's tracking scan rides it too
+        (mapping.track_map_group)."""
         s = self.specs
         stage_iters = self._stage_iters_of(mapspec, num_joint_iters)
         coarse_stage_iters = (self._stage_iters_of(coarse_spec, coarse_iters)
                               if coarse_spec is not None else ())
 
         t0 = time.perf_counter()
-        (self.map_state.params, self.map_state.grids, self.store,
-         self._est_dev, losses) = mapping_step(
-            self.map_state.params, self.map_state.grids, self.bound,
-            self.store, self._est_dev, idx, color, depth, frame_sel,
-            float(lr_factor), self._key_base, self._next_step(),
-            s.camera, stage_iters, mapspec, s.render, s.model, ba,
-            s.model.coarse_bound_enlarge, self.mesh,
-            insert_kf=insert_kf,
-            gt_pose=(jnp.asarray(gt_pose, jnp.float32) if insert_kf
-                     else None),
-            coarse_spec=coarse_spec,
-            coarse_stage_iters=coarse_stage_iters,
-            coarse_lr_factor=float(coarse_lr_factor))
+        if track_group_start is not None:
+            from nice_slam_tpu.mapping import track_map_group
+
+            track_step_no = self._next_step()
+            (self.map_state.params, self.map_state.grids, self.store,
+             self._est_dev, tlosses, losses) = track_map_group(
+                self.map_state.params, self.map_state.grids, self.bound,
+                self.store, self._est_dev, track_group_start, color, depth,
+                track_step_no, self._next_step(), frame_sel,
+                float(lr_factor), self._key_base, s.camera, s.track,
+                stage_iters, mapspec, s.render, s.model, ba,
+                s.model.coarse_bound_enlarge, self.mesh,
+                insert_kf=insert_kf,
+                gt_pose=(jnp.asarray(gt_pose, jnp.float32) if insert_kf
+                         else None),
+                coarse_spec=coarse_spec,
+                coarse_stage_iters=coarse_stage_iters,
+                coarse_lr_factor=float(coarse_lr_factor))
+            self.tracking_stats.append(
+                {"idxs": list(range(track_group_start, idx + 1)),
+                 "arr": tlosses})
+        else:
+            (self.map_state.params, self.map_state.grids, self.store,
+             self._est_dev, losses) = mapping_step(
+                self.map_state.params, self.map_state.grids, self.bound,
+                self.store, self._est_dev, idx, color, depth, frame_sel,
+                float(lr_factor), self._key_base, self._next_step(),
+                s.camera, stage_iters, mapspec, s.render, s.model, ba,
+                s.model.coarse_bound_enlarge, self.mesh,
+                insert_kf=insert_kf,
+                gt_pose=(jnp.asarray(gt_pose, jnp.float32) if insert_kf
+                         else None),
+                coarse_spec=coarse_spec,
+                coarse_stage_iters=coarse_stage_iters,
+                coarse_lr_factor=float(coarse_lr_factor))
         # fresh-buffer fetch = reliable step barrier (see track()); the
         # pipelined engine disables it so its mapping events overlap the
         # next tracking group on the other device
@@ -335,10 +364,17 @@ class SlamEngine:
         return losses
 
     def mapping_event(self, idx: int, color, depth, gt_pose,
-                      first: bool = False, frame_sel: int = 0) -> None:
+                      first: bool = False, frame_sel: int = 0,
+                      track_group_start: Optional[int] = None) -> None:
         """One mapping wake-up: fine mapper (+BA, keyframe insertion,
         checkpoint/mesh hooks) and the coarse mapper.  color/depth may be
-        a stacked frame group with `frame_sel` picking the frame in-jit."""
+        a stacked frame group with `frame_sel` picking the frame in-jit.
+
+        track_group_start (grouped fast path): also track frames
+        [track_group_start, idx] FIRST, fused into the SAME dispatch as
+        the mapping event (mapping.track_map_group) — one dispatch + one
+        barrier per frame group instead of two of each.  Bit-identical to
+        the separate track-then-map dispatches (same RNG streams)."""
         final = idx == self.n_img - 1
         mapspec = self.specs.mapper
 
@@ -365,7 +401,8 @@ class SlamEngine:
         if outer == 1:
             # the common path: fine map (+BA), keyframe insertion
             # (Mapper.py:611-617) and the independent coarse mapper all
-            # fused into ONE dispatch + ONE barrier
+            # fused into ONE dispatch + ONE barrier — optionally together
+            # with the whole frame group's tracking (track_group_start)
             ba = (len(self.kf_frame_ids) > 4) and mapspec.ba
             losses = self.map_once(
                 idx, color, depth, mapspec, n_iters, lr_f, ba,
@@ -373,10 +410,18 @@ class SlamEngine:
                 coarse_spec=self.specs.coarse_mapper,
                 coarse_iters=self.iters_first if first else self.iters,
                 coarse_lr_factor=(self.lr_first_factor if first
-                                  else self.lr_factor))
+                                  else self.lr_factor),
+                track_group_start=track_group_start)
             if want_insert:
                 self.kf_frame_ids.append(idx)
         else:
+            if track_group_start is not None:
+                # non-fusable event shapes (color refine, iMAP* 3-pass):
+                # track the group in its own dispatch first
+                t0 = time.perf_counter()
+                tl = self._track_group(track_group_start, idx, color, depth)
+                np.asarray(jax.device_get(tl))
+                self.timings["track"] += time.perf_counter() - t0
             # multi-pass events (final color refine, iMAP*'s 3-pass loop)
             # keep the sequential sub-dispatches
             for _ in range(outer):
@@ -563,14 +608,21 @@ class SlamEngine:
                         cur, g_end)
                 self.gt_c2w[cur:g_end + 1] = gts
 
-                t0 = time.perf_counter()
-                losses = self._track_group(cur, g_end, colors, depths)
-                np.asarray(jax.device_get(losses))  # group barrier (fresh)
-                self.timings["track"] += time.perf_counter() - t0
-
-                if g_end == n - 1 or g_end % self.every_frame == 0:
+                maps_here = g_end == n - 1 or g_end % self.every_frame == 0
+                if maps_here and self.mesh is None and self.fuse_track_map:
+                    # tracking + mapping event in ONE dispatch + barrier
+                    # (mapping.track_map_group; bit-identical RNG streams)
                     self.mapping_event(g_end, colors, depths, gts[-1],
-                                       frame_sel=g_end - cur)
+                                       frame_sel=g_end - cur,
+                                       track_group_start=cur)
+                else:
+                    t0 = time.perf_counter()
+                    losses = self._track_group(cur, g_end, colors, depths)
+                    np.asarray(jax.device_get(losses))  # group barrier
+                    self.timings["track"] += time.perf_counter() - t0
+                    if maps_here:
+                        self.mapping_event(g_end, colors, depths, gts[-1],
+                                           frame_sel=g_end - cur)
                 self.frames_done = g_end + 1
                 if bar:
                     bar.update(g_end + 1 - cur)

@@ -544,6 +544,52 @@ def mapping_step(params, grids, bound, store, est_buf, idx, color, depth,
     return params, grids, store, est_buf, losses
 
 
+@partial(jax.jit, static_argnames=("camera", "tspec", "stage_iters",
+                                   "mapspec", "rspec", "mspec", "ba",
+                                   "coarse_bound_enlarge", "mesh",
+                                   "insert_kf", "coarse_spec",
+                                   "coarse_stage_iters"),
+         donate_argnums=(0, 1, 3, 4))
+def track_map_group(params, grids, bound, store, est_buf, idx0, colors,
+                    depths, track_step_no, map_step_no, frame_sel,
+                    lr_factor, key, camera: Camera, tspec,
+                    stage_iters: Tuple[Tuple[str, int], ...],
+                    mapspec: MapSpec, rspec: RenderSpec, mspec: ModelSpec,
+                    ba: bool, coarse_bound_enlarge: int = 2, mesh=None,
+                    insert_kf: bool = False, gt_pose=None,
+                    coarse_spec: MapSpec = None,
+                    coarse_stage_iters: Tuple[Tuple[str, int], ...] = (),
+                    coarse_lr_factor=1.0):
+    """Track a whole frame group AND run its mapping event in ONE dispatch.
+
+    The strict schedule (SURVEY §3.5) makes the mapping event of frame
+    group [idx0, idx0+G-1] depend only on on-device state produced by the
+    group's tracking scan — there is no host decision between them (the
+    keyframe cadence and BA gate are static per event).  Splitting them
+    into two dispatches costs one extra RPC dispatch + one extra barrier
+    per group on remote-attached chips (~20 ms measured, see engine.py
+    docstring) for zero benefit.  RNG: tracking folds in track_step_no and
+    mapping folds in map_step_no exactly like the standalone dispatches,
+    so the computation is bit-identical to the unfused path (asserted in
+    tests/test_slam.py).
+
+    Returns (params, grids, store, est_buf, track_losses (G, 3),
+    map_losses)."""
+    from nice_slam_tpu.tracking import track_frames_group
+
+    est_buf, track_losses = track_frames_group(
+        params, grids, bound, est_buf, idx0, colors, depths, key,
+        track_step_no, camera, tspec, rspec, mspec)
+    params, grids, store, est_buf, map_losses = mapping_step(
+        params, grids, bound, store, est_buf, idx0 + frame_sel, colors,
+        depths, frame_sel, lr_factor, key, map_step_no, camera,
+        stage_iters, mapspec, rspec, mspec, ba, coarse_bound_enlarge,
+        mesh, insert_kf=insert_kf, gt_pose=gt_pose, coarse_spec=coarse_spec,
+        coarse_stage_iters=coarse_stage_iters,
+        coarse_lr_factor=coarse_lr_factor)
+    return params, grids, store, est_buf, track_losses, map_losses
+
+
 def refresh_occ_proxy(params, grids, bound, mspec: ModelSpec):
     """Re-decode the occupancy proxy at its grid NODES (the positions its
     own trilinear reads interpolate between) from the current map ('fine'

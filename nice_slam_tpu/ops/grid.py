@@ -172,9 +172,20 @@ def _moment_scatter_bwd(res, g):
     w = _corner_weights(f)                                  # (N, 8)
     vals = (w[:, :, None] * g[:, None, :]).reshape(-1, 8 * C)
 
+    # Optional bf16 MOMENT BUFFER (env NICE_SLAM_TPU_MSCATTER_BF16): the
+    # (Ncells, 8C) buffer's dense zero-init + fold reads dominate the
+    # backward's HBM traffic once Ncells >> N (e.g. 172k cells x 2 KB rows
+    # for a fine||color pair); storing it bf16 halves that.  Costs bf16
+    # rounding on the per-cell ADDS (2-3 contributions/cell typical) —
+    # gradient quality must be re-validated (seed-averaged ATE) before
+    # defaulting this on.  OFF by default.
+    mdt = (jnp.bfloat16
+           if os.environ.get("NICE_SLAM_TPU_MSCATTER_BF16", "0") == "1"
+           else g.dtype)
     cell = (i0[:, 0] * (ny - 1) + i0[:, 1]) * (nz - 1) + i0[:, 2]
-    m = jnp.zeros(((nx - 1) * (ny - 1) * (nz - 1), 8 * C), g.dtype)
-    m = m.at[cell].add(vals, mode="promise_in_bounds")      # in-range by clip
+    m = jnp.zeros(((nx - 1) * (ny - 1) * (nz - 1), 8 * C), mdt)
+    m = m.at[cell].add(vals.astype(mdt),
+                       mode="promise_in_bounds")            # in-range by clip
     m = m.reshape(nx - 1, ny - 1, nz - 1, 2, 2, 2, C)
 
     gg = None
@@ -184,7 +195,7 @@ def _moment_scatter_bwd(res, g):
                 part = jnp.pad(m[..., a, b, c, :],
                                ((a, 1 - a), (b, 1 - b), (c, 1 - c), (0, 0)))
                 gg = part if gg is None else gg + part
-    return gg, gp
+    return (gg.astype(g.dtype) if gg.dtype != g.dtype else gg), gp
 
 
 def _gather_dtype():

@@ -278,6 +278,34 @@ class TestGrid:
             np.asarray(gridops._interp_mscatter(g, p)),
             np.asarray(gridops._interp_impl(g, p)), atol=0)
 
+    def test_moment_scatter_bf16_buffer_env(self, monkeypatch):
+        # NICE_SLAM_TPU_MSCATTER_BF16=1 stores the cell-moment buffer in
+        # bf16 (halving the backward's dominant dense HBM traffic).  The
+        # grid gradient must stay within bf16 rounding of autodiff; the
+        # POINT gradient path never touches the moment buffer and must
+        # stay exactly f32-equal.
+        rng = np.random.RandomState(13)
+        nx, ny, nz, C = 6, 5, 7, 8
+        g = jnp.asarray(rng.randn(nx, ny, nz, C).astype(np.float32))
+        p = jnp.asarray(rng.rand(150, 3).astype(np.float32) * 2 - 1)
+        ct = jnp.asarray(rng.randn(150, C).astype(np.float32))
+
+        def loss(fn, grid, pts):
+            return jnp.sum(fn(grid, pts) * ct)
+
+        gg_ref, gp_ref = jax.grad(
+            lambda a, b: loss(gridops._interp_impl, a, b), (0, 1))(g, p)
+        monkeypatch.setenv("NICE_SLAM_TPU_MSCATTER_BF16", "1")
+        gg_bf, gp_bf = jax.grad(
+            lambda a, b: loss(gridops._interp_mscatter, a, b), (0, 1))(g, p)
+        assert gg_bf.dtype == jnp.float32
+        # bf16 has ~3 significant decimal digits; contributions per cell
+        # are few, so the summed gradient stays within a loose rel tol
+        np.testing.assert_allclose(np.asarray(gg_bf), np.asarray(gg_ref),
+                                   rtol=0.05, atol=0.05)
+        np.testing.assert_allclose(np.asarray(gp_bf), np.asarray(gp_ref),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_moment_scatter_under_scan_and_vmap(self):
         # mapping runs the VJP inside lax.scan; keyframe selection vmaps
         # interp-bearing code — both must compose with the custom_vjp
