@@ -67,6 +67,7 @@ DEFAULTS: Dict[str, Any] = {
         "w_color_loss": 0.5,
         "seperate_LR": False,
         "const_speed_assumption": True,
+        "init_select": True,
         "no_vis_on_first_frame": True,
         "gt_camera": False,
         "lr": 0.001,
@@ -274,7 +275,8 @@ def specs_from_config(cfg: dict) -> SlamSpecs:
         ignore_edge_w=t["ignore_edge_W"], ignore_edge_h=t["ignore_edge_H"],
         handle_dynamic=t["handle_dynamic"],
         use_color=t["use_color_in_tracking"],
-        const_speed=t["const_speed_assumption"], nice=nice,
+        const_speed=t["const_speed_assumption"],
+        init_select=t["init_select"], nice=nice,
     )
     m = cfg["mapping"]
     stage_lr = tuple(sorted(

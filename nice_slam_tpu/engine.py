@@ -86,22 +86,39 @@ class SlamEngine:
         self.color_refine = m["color_refine"]
         self.gt_camera = cfg["tracking"]["gt_camera"]
         # strict: map frame k*every right after tracking it (the reference
-        # schedule, SURVEY §3.5).  loose/free: the reference lets the mapper
-        # lag the tracker by up to every_frame*3/2 (Tracker.py:168-175);
-        # here that becomes a DETERMINISTIC lag of every_frame//2 frames —
-        # same staleness, reproducible schedule.
+        # schedule, SURVEY §3.5).  loose: the reference lets the mapper lag
+        # the tracker by up to every_frame*3/2 (Tracker.py:168-175); here
+        # that becomes a DETERMINISTIC lag of every_frame//2 frames — same
+        # staleness, reproducible schedule.  free: the tracker never waits
+        # at all (Tracker.py:169-170) — deterministically, a full
+        # every_frame of lag (the maximum staleness the reference's free
+        # mode reaches before the mapper catches up).
         sync = cfg.get("sync_method", "strict")
-        self.map_lag = (self.every_frame // 2
-                        if sync in ("loose", "free") else 0)
+        self.map_lag = {"strict": 0,
+                        "loose": self.every_frame // 2,
+                        "free": self.every_frame}.get(sync, 0)
         self.grouped_tracking = bool(
             cfg["tpu"].get("grouped_tracking", True))
         # fuse each frame group's tracking scan into its mapping-event
         # dispatch (mapping.track_map_group) — bit-identical, one fewer
         # dispatch+barrier per group; off only for A/B testing
         self.fuse_track_map = bool(cfg["tpu"].get("fuse_track_map", True))
-        # ray-data-parallel mapping over a device mesh (tpu.data_parallel)
+        # device-mesh mapping modes: tpu.data_parallel (1D ray sharding,
+        # parallel/data_parallel.py) or tpu.grid_sharded: [n_data, n_model]
+        # (2D rays x halo-exchanged grid slabs, parallel/grid_sharded.py).
+        # mapping._one_map_optimize routes on the mesh's axis names.
         self.mesh = None
-        if cfg["tpu"].get("data_parallel") and len(jax.devices()) > 1:
+        gs = cfg["tpu"].get("grid_sharded")
+        if gs:
+            n_data, n_model = int(gs[0]), int(gs[1])
+            if len(jax.devices()) >= n_data * n_model and n_model > 1:
+                from nice_slam_tpu.parallel.grid_sharded import make_mesh_2d
+                self.mesh = make_mesh_2d(n_data, n_model)
+            else:
+                print(f"warning: tpu.grid_sharded={gs} needs "
+                      f"{n_data * n_model} devices (have "
+                      f"{len(jax.devices())}) — running dense")
+        elif cfg["tpu"].get("data_parallel") and len(jax.devices()) > 1:
             from nice_slam_tpu.parallel import make_mesh
             shape = cfg["tpu"].get("mesh_shape")
             self.mesh = make_mesh(shape[0] if shape else None)
@@ -132,11 +149,19 @@ class SlamEngine:
         # steady-state loop runs with zero host<->device synchronizations
         # (each sync costs a full round trip on remote-attached chips)
         self._est_dev = jnp.zeros((self.n_img, 4, 4), jnp.float32)
+        self._warned_bad_pose = False
+        self._warned_kf_capacity = False
+        # per-iteration visualizers (enable_visualizer(inside=True))
+        self._track_inside_vis = None
+        self._map_inside_vis = None
         self.gt_c2w = np.zeros((self.n_img, 4, 4), np.float32)
         self.tracking_stats: list = []  # device scalars; see stats()
         self.frames_done = 0
-        self.timings = {"track": 0.0, "map": 0.0, "coarse_map": 0.0,
-                        "io": 0.0, "kf_add": 0.0}
+        # "track+map" books the fused track_map_group dispatches (the
+        # default path): tracking and mapping share one device program
+        # there, so their split is not separately observable
+        self.timings = {"track": 0.0, "map": 0.0, "track+map": 0.0,
+                        "coarse_map": 0.0, "io": 0.0, "kf_add": 0.0}
         # background frame loading: dataset decode + host preprocessing
         # overlap device compute (one worker, one group ahead — the
         # reference pays this cost on the tracker's critical path via its
@@ -166,6 +191,23 @@ class SlamEngine:
                 self.map_state.params, self.specs.model, coarse_p, mf_p)
 
     # -- helpers -----------------------------------------------------------
+
+    def _safe_est_pose(self, gt_pose, idx: int):
+        """Guard non-finite GT poses (a real ScanNet artifact: inf rows in
+        pose files) before they feed the estimated trajectory: frame-0 /
+        gt_camera initialization from an inf pose would poison every
+        subsequent tracked frame.  gt_c2w keeps the raw value — the ATE
+        eval masks non-finite GT (utils/trajectory.py), matching the
+        reference's eval-side handling (src/tools/eval_ate.py:239-256)."""
+        p = np.asarray(gt_pose)
+        if np.isfinite(p).all():
+            return gt_pose
+        if not self._warned_bad_pose:
+            print(f"warning: non-finite GT pose at frame {idx}; using "
+                  "identity for trajectory initialization (ATE eval masks "
+                  "such frames)")
+            self._warned_bad_pose = True
+        return np.eye(4, dtype=np.float32)
 
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
@@ -270,7 +312,13 @@ class SlamEngine:
         s = self.specs
         self.gt_c2w[idx] = gt_pose
         if idx == 0 or self.gt_camera:
-            self._est_dev = self._set_pose(self._est_dev, idx, gt_pose)
+            self._est_dev = self._set_pose(
+                self._est_dev, idx, self._safe_est_pose(gt_pose, idx))
+            return
+
+        if (self._track_inside_vis is not None
+                and self._track_inside_vis.frame_selected(idx)):
+            self._track_with_inside_vis(idx, color, depth)
             return
 
         t0 = time.perf_counter()
@@ -289,6 +337,107 @@ class SlamEngine:
         self.tracking_stats.append(
             {"idx": idx, "first_loss": first_loss,
              "last_loss": last_loss, "best_loss": best_loss})
+
+    def _track_with_inside_vis(self, idx: int, color, depth) -> None:
+        """Tracking step + per-iteration panels: fetch the pre-step camera
+        history and re-render against the frozen map — exact parity with
+        the reference's per-iteration tracking panels
+        (src/Tracker.py:230-231, src/utils/Visualizer.py:24-107)."""
+        from nice_slam_tpu.ops import cam_from_tensor, to_homogeneous
+        from nice_slam_tpu.tracking import track_frame_step_vis
+
+        s = self.specs
+        t0 = time.perf_counter()
+        (self._est_dev, first_loss, last_loss, best_loss,
+         cams) = track_frame_step_vis(
+            self.map_state.params, self.map_state.grids, self.bound,
+            self._est_dev, idx, color, depth, self._key_base,
+            self._next_step(), s.camera, s.track, s.render, s.model)
+        c2ws = np.asarray(jax.device_get(
+            to_homogeneous(cam_from_tensor(cams))))  # barrier + fetch
+        self.timings["track"] += time.perf_counter() - t0
+        vis = self._track_inside_vis
+        for it in range(c2ws.shape[0]):
+            if it % vis.inside_freq == 0:
+                vis.render_panel(self, idx, it, color, depth, c2ws[it])
+        self.tracking_stats.append(
+            {"idx": idx, "first_loss": first_loss,
+             "last_loss": last_loss, "best_loss": best_loss})
+
+    def _map_event_inside_vis(self, idx: int, color, depth, mapspec,
+                              num_joint_iters: int, lr_factor: float,
+                              ba: bool):
+        """One fine-mapping optimization driven as SEGMENTS of
+        vis_inside_freq iterations with a panel rendered from the
+        mid-optimization state before each (reference per-iteration
+        mapping vis, src/Mapper.py:426-430).  Functionally equivalent to
+        map_once's fused dispatch (same selection, staged LRs, Adam
+        moments threaded across segments, BA write-back); RNG segmentation
+        differs, so this is a debug path, not the perf path."""
+        from nice_slam_tpu.mapping import (
+            map_optimize_segment,
+            prepare_mapping,
+            refresh_occ_proxy,
+        )
+        from nice_slam_tpu.keyframes import update_poses
+        from nice_slam_tpu.ops import (
+            adam_init,
+            cam_from_tensor,
+            to_homogeneous,
+        )
+
+        s = self.specs
+        vis = self._map_inside_vis
+        stage_iters = self._stage_iters_of(mapspec, num_joint_iters)
+        key = jax.random.fold_in(self._key_base, self._next_step())
+        k1, key = jax.random.split(key)
+
+        if getattr(color, "ndim", 3) == 4:
+            raise ValueError("inside-vis mapping expects a single frame")
+        if color.dtype == jnp.uint8:
+            color_f = color.astype(jnp.float32) / 255.0
+        else:
+            color_f = color
+
+        cur_c2w = self._est_dev[idx]
+        window, masks, cams0, cam_lr_mask = prepare_mapping(
+            k1, self.store, color_f, depth, cur_c2w,
+            self.map_state.grids, self.bound, s.camera, mapspec, ba,
+            s.model.coarse_bound_enlarge)
+        tree = {"params": self.map_state.params,
+                "grids": self.map_state.grids, "cams": cams0}
+        opt = adam_init(tree)
+        c2w_host = np.asarray(jax.device_get(cur_c2w + 0.0))
+
+        from nice_slam_tpu.utils.visualizer import segment_stage_iters
+        losses = None
+        for start, seg in segment_stage_iters(stage_iters,
+                                              vis.inside_freq):
+            vis.render_panel(self, idx, start, color_f, depth, c2w_host,
+                             params=tree["params"], grids=tree["grids"])
+            key, ks = jax.random.split(key)
+            tree, opt, losses = map_optimize_segment(
+                tree, opt, self.bound, window, masks, cam_lr_mask,
+                float(lr_factor), ks, s.camera, seg, mapspec, s.render,
+                s.model)
+
+        self.map_state.params = tree["params"]
+        self.map_state.grids = tree["grids"]
+        if ba:
+            new_c2w = to_homogeneous(cam_from_tensor(tree["cams"]))
+            kf_mask = (window["valid"] & (window["slots"] >= 0)
+                       & (cam_lr_mask > 0))
+            self.store = update_poses(
+                self.store, jnp.maximum(window["slots"], 0), new_c2w,
+                kf_mask)
+            self._est_dev = self._est_dev.at[idx].set(new_c2w[-1])
+        if (mapspec.nice and not mapspec.coarse_mapper
+                and "occ_proxy" in self.map_state.grids):
+            g = dict(self.map_state.grids)
+            g["occ_proxy"] = refresh_occ_proxy(
+                self.map_state.params, g, self.bound, s.model)
+            self.map_state.grids = g
+        return losses
 
     # -- mapping -----------------------------------------------------------
 
@@ -359,8 +508,10 @@ class SlamEngine:
         # next tracking group on the other device
         if self._map_barrier:
             np.asarray(jax.device_get(losses))
-        self.timings["coarse_map" if coarse else "map"] += \
-            time.perf_counter() - t0
+        bucket = ("coarse_map" if coarse
+                  else "track+map" if track_group_start is not None
+                  else "map")
+        self.timings[bucket] += time.perf_counter() - t0
         return losses
 
     def mapping_event(self, idx: int, color, depth, gt_pose,
@@ -393,12 +544,52 @@ class SlamEngine:
             n_iters = max(self.iters // (1 if mapspec.nice else 3), 1)
             lr_f = self.lr_factor
 
-        want_insert = (
-            (idx % self.keyframe_every == 0 or idx >= self.n_img - 2)
-            and idx not in self.kf_frame_ids
-            and len(self.kf_frame_ids) < self.store.capacity)
+        due = ((idx % self.keyframe_every == 0 or idx >= self.n_img - 2)
+               and idx not in self.kf_frame_ids)
+        want_insert = due and len(self.kf_frame_ids) < self.store.capacity
+        if due and not want_insert and not self._warned_kf_capacity:
+            print(f"warning: keyframe store full "
+                  f"({self.store.capacity}) — dropping keyframe {idx} and "
+                  "later ones; raise tpu.keyframe_capacity")
+            self._warned_kf_capacity = True
         losses = None
-        if outer == 1:
+        use_inside = (
+            self._map_inside_vis is not None and outer == 1 and mapspec.nice
+            and self._map_inside_vis.frame_selected(idx)
+            and not (first and self.cfg["mapping"].get(
+                "no_vis_on_first_frame", True)))
+        if use_inside:
+            # per-iteration mapping vis: segmented optimization (debug
+            # path; see _map_event_inside_vis)
+            if track_group_start is not None:
+                t0 = time.perf_counter()
+                tl = self._track_group(track_group_start, idx, color, depth)
+                np.asarray(jax.device_get(tl))
+                self.timings["track"] += time.perf_counter() - t0
+            c_one = (color[frame_sel] if getattr(color, "ndim", 3) == 4
+                     else color)
+            d_one = (depth[frame_sel] if getattr(depth, "ndim", 2) == 3
+                     else depth)
+            ba = (len(self.kf_frame_ids) > 4) and mapspec.ba
+            t0 = time.perf_counter()
+            losses = self._map_event_inside_vis(idx, c_one, d_one, mapspec,
+                                                n_iters, lr_f, ba)
+            np.asarray(jax.device_get(losses))
+            self.timings["map"] += time.perf_counter() - t0
+            if want_insert:
+                tk = time.perf_counter()
+                self.store = add_keyframe_from(
+                    self.store, c_one, d_one, self._est_dev, gt_pose, idx,
+                    0)
+                self._sync(self.store.count, "kf_add", tk)
+                self.kf_frame_ids.append(idx)
+            if self.specs.coarse_mapper is not None:
+                self.map_once(idx, c_one, d_one, self.specs.coarse_mapper,
+                              self.iters_first if first else self.iters,
+                              self.lr_first_factor if first
+                              else self.lr_factor,
+                              ba=False, coarse=True, frame_sel=0)
+        elif outer == 1:
             # the common path: fine map (+BA), keyframe insertion
             # (Mapper.py:611-617) and the independent coarse mapper all
             # fused into ONE dispatch + ONE barrier — optionally together
@@ -459,34 +650,66 @@ class SlamEngine:
 
     # -- main loop ---------------------------------------------------------
 
-    def enable_visualizer(self, mapping_only: bool = False):
-        """Attach the residual-panel visualizers: tracking panels every
-        tracking.vis_freq frames and mapping panels every
-        mapping.vis_freq-th mapping EVENT, in separate dirs — mirroring
-        the reference's per-worker Visualizer instances
-        (src/Tracker.py:66-68, src/Mapper.py:87-90).  mapping_only skips
-        the per-frame tracking hook (the pipelined engine tracks in
-        groups and cannot host it)."""
-        from nice_slam_tpu.utils.visualizer import make_engine_vis_hook
+    def enable_visualizer(self, mapping_only: bool = False,
+                          inside: bool = True):
+        """Attach the residual-panel visualizers in separate dirs,
+        mirroring the reference's per-worker Visualizer instances
+        (src/Tracker.py:66-68, src/Mapper.py:87-90).
 
-        if not mapping_only:
-            freq = self.cfg["tracking"].get("vis_freq", 50)
-            self.vis_hook = make_engine_vis_hook(
-                os.path.join(self.output, "tracking_vis"), freq)
+        inside=True (default — the reference's semantics,
+        src/utils/Visualizer.py:24-107): panels render PER OPTIMIZATION
+        ITERATION at the (vis_freq, vis_inside_freq) cadence —
+        {idx:05d}_{iter:04d}.jpg.  Tracking re-renders the per-iteration
+        camera history against the frozen map (exact reference panels);
+        mapping runs selected events as segments of vis_inside_freq
+        iterations and renders from the mid-optimization grids.
+
+        inside=False: cheap per-frame tracking panels + per-EVENT mapping
+        panels (it=0 only).  mapping_only skips the per-frame tracking
+        hook (the pipelined engine tracks in groups and cannot host
+        it)."""
+        from nice_slam_tpu.utils.visualizer import (
+            InsideVisualizer,
+            make_engine_vis_hook,
+        )
+
+        tfreq = self.cfg["tracking"].get("vis_freq", 50)
         mfreq = self.cfg["mapping"].get("vis_freq", 50)
+        if inside:
+            if not mapping_only:
+                self._track_inside_vis = InsideVisualizer(
+                    os.path.join(self.output, "tracking_vis"), tfreq,
+                    self.cfg["tracking"].get("vis_inside_freq", 25))
+                # per-frame loop required for per-iteration tracking vis
+                self.vis_hook = lambda eng, idx, color, depth: None
+            self._map_inside_vis = InsideVisualizer(
+                os.path.join(self.output, "mapping_vis"), mfreq,
+                self.cfg["mapping"].get("vis_inside_freq", 25))
+            return self
+        if not mapping_only:
+            self.vis_hook = make_engine_vis_hook(
+                os.path.join(self.output, "tracking_vis"), tfreq)
         self._map_vis_hook = make_engine_vis_hook(
             os.path.join(self.output, "mapping_vis"), mfreq,
             by_call_count=True)
         return self
 
-    def run(self, n_frames: Optional[int] = None, progress: bool = False):
+    def run(self, n_frames: Optional[int] = None, progress: bool = False,
+            start: Optional[int] = None):
+        """Process frames [start, n).  start defaults to frames_done, so a
+        resumed engine (resume()/retry after a transient backend failure)
+        continues where the checkpoint left off instead of re-running from
+        frame 0."""
         n = min(n_frames or self.n_img, self.n_img)
+        start = self.frames_done if start is None else start
+        if start >= n:
+            return self
         grouped = (self.grouped_tracking and self.map_lag == 0
                    and self.vis_hook is None and not self.gt_camera
                    and self.every_frame > 1)
         if grouped:
-            return self._run_grouped(n, progress)
-        it = range(n)
+            return self._run_grouped(n, progress, start)
+        it = range(start, n)
         if progress:
             try:
                 from tqdm import tqdm
@@ -495,11 +718,11 @@ class SlamEngine:
                 pass
         pool = None
         fut = None
-        if self.prefetch and n > 0:
+        if self.prefetch and n > start:
             from concurrent.futures import ThreadPoolExecutor
             pool = ThreadPoolExecutor(max_workers=1,
                                       thread_name_prefix="frame-prefetch")
-            fut = pool.submit(self._load_frame, 0)
+            fut = pool.submit(self._load_frame, start)
         for idx in it:
             if fut is not None:
                 color, depth, gt_pose = fut.result()
@@ -514,7 +737,8 @@ class SlamEngine:
                     del self._frame_cache[old]
             if idx == 0:
                 self.gt_c2w[0] = gt_pose
-                self._est_dev = self._set_pose(self._est_dev, 0, gt_pose)
+                self._est_dev = self._set_pose(
+                    self._est_dev, 0, self._safe_est_pose(gt_pose, 0))
                 self.mapping_event(0, color, depth, gt_pose, first=True)
                 continue
             self.track(idx, color, depth, gt_pose)
@@ -523,7 +747,11 @@ class SlamEngine:
                 # final frame always maps itself (color refine, final mesh)
                 self.mapping_event(idx, color, depth, gt_pose)
             elif midx > 0 and midx % self.every_frame == 0:
-                mc, md, mg = (self._frame_cache[midx] if self.map_lag > 0
+                # lagged frame may predate a resume point — fall back to
+                # the current frame (same map cadence, fresher data)
+                mc, md, mg = (self._frame_cache.get(
+                                  midx, (color, depth, gt_pose))
+                              if self.map_lag > 0
                               else (color, depth, gt_pose))
                 self.mapping_event(midx, mc, md, mg)
             if self.vis_hook is not None:
@@ -558,7 +786,7 @@ class SlamEngine:
         boundary, capped at the final frame."""
         return min(((cur - 1) // every_frame + 1) * every_frame, n - 1)
 
-    def _run_grouped(self, n: int, progress: bool = False):
+    def _run_grouped(self, n: int, progress: bool = False, start: int = 0):
         """Strict-schedule fast path: every inter-mapping frame group is
         tracked in ONE dispatch (tracking.track_frames_group) and its
         uploaded frame stack is reused by the mapping event in-jit — one
@@ -567,18 +795,20 @@ class SlamEngine:
         if progress:
             try:
                 from tqdm import tqdm
-                bar = tqdm(total=n, desc="slam")
+                bar = tqdm(total=n, initial=start, desc="slam")
             except ImportError:
                 pass
 
-        color, depth, gt_pose = self._load_frame(0)
-        self.gt_c2w[0] = gt_pose
-        self._est_dev = self._set_pose(self._est_dev, 0, gt_pose)
+        if start == 0:
+            color, depth, gt_pose = self._load_frame(0)
+            self.gt_c2w[0] = gt_pose
+            self._est_dev = self._set_pose(
+                self._est_dev, 0, self._safe_est_pose(gt_pose, 0))
 
         # group schedule, known up front -> prefetch one group ahead on a
         # worker thread (dataset decode + upload overlap device compute)
         bounds = []
-        cur = 1
+        cur = max(1, start)
         while cur < n:
             g_end = self.group_end(cur, self.every_frame, n)
             bounds.append((cur, g_end))
@@ -591,10 +821,11 @@ class SlamEngine:
                                       thread_name_prefix="frame-prefetch")
             fut = pool.submit(self._load_frames_stacked, *bounds[0])
 
-        self.mapping_event(0, color, depth, gt_pose, first=True)
-        self.frames_done = 1
-        if bar:
-            bar.update(1)
+        if start == 0:
+            self.mapping_event(0, color, depth, gt_pose, first=True)
+            self.frames_done = 1
+            if bar:
+                bar.update(1)
 
         try:
             for gi, (cur, g_end) in enumerate(bounds):

@@ -381,7 +381,49 @@ def map_optimize(params, grids, bound, window, cams0, masks, cam_lr_mask,
     Returns (params, grids, cams, losses)."""
     tree = {"params": params, "grids": grids, "cams": cams0}
     opt = adam_init(tree)
+    tree, opt, losses, key = _map_optimize_stages(
+        tree, opt, bound, window, masks, cam_lr_mask, lr_factor, key,
+        camera, stage_iters, mapspec, rspec, mspec, _with_key=True)
 
+    if ba and mapspec.pose_gn_iters > 0 and mapspec.nice:
+        from nice_slam_tpu.parallel.schur_ba import schur_pose_refine
+        key, kg = jax.random.split(key)
+        gn_rspec = dataclasses.replace(rspec, train_decoders=False)
+        tree["cams"] = schur_pose_refine(
+            tree["params"], tree["grids"], bound, window, tree["cams"],
+            cam_lr_mask, kg, camera, gn_rspec, mspec,
+            mapspec.pose_gn_iters, mapspec.pose_gn_pixels,
+            mapspec.pose_gn_damping)
+
+    return tree["params"], tree["grids"], tree["cams"], losses
+
+
+@partial(jax.jit, static_argnames=("camera", "stage_iters", "mapspec",
+                                   "rspec", "mspec"))
+def map_optimize_segment(tree, opt, bound, window, masks, cam_lr_mask,
+                         lr_factor, key, camera: Camera,
+                         stage_iters: Tuple[Tuple[str, int], ...],
+                         mapspec: MapSpec, rspec: RenderSpec,
+                         mspec: ModelSpec):
+    """One SEGMENT of the staged optimization with Adam state threaded
+    in/out — the per-iteration visualizer (utils/visualizer.py) drives
+    the event as several segments of vis_inside_freq iterations,
+    rendering a panel from the mid-optimization state between them
+    (reference src/utils/Visualizer.py:24-107 renders inside the joint
+    iteration loop, src/Mapper.py:426-428)."""
+    return _map_optimize_stages(tree, opt, bound, window, masks,
+                                cam_lr_mask, lr_factor, key, camera,
+                                stage_iters, mapspec, rspec, mspec)
+
+
+def _map_optimize_stages(tree, opt, bound, window, masks, cam_lr_mask,
+                         lr_factor, key, camera: Camera,
+                         stage_iters: Tuple[Tuple[str, int], ...],
+                         mapspec: MapSpec, rspec: RenderSpec,
+                         mspec: ModelSpec, _with_key: bool = False):
+    """Shared staged-Adam body; returns (tree, opt, losses[, key]) —
+    the evolved key keeps map_optimize's post-stage RNG (Schur GN refine)
+    on its original stream."""
     all_losses = []
     for stage, n_iters in stage_iters:
         if n_iters == 0:
@@ -429,18 +471,9 @@ def map_optimize(params, grids, bound, window, cams0, masks, cam_lr_mask,
         (tree, opt), losses = jax.lax.scan(step, (tree, opt), keys)
         all_losses.append(losses)
 
-    if ba and mapspec.pose_gn_iters > 0 and mapspec.nice:
-        from nice_slam_tpu.parallel.schur_ba import schur_pose_refine
-        key, kg = jax.random.split(key)
-        gn_rspec = dataclasses.replace(rspec, train_decoders=False)
-        tree["cams"] = schur_pose_refine(
-            tree["params"], tree["grids"], bound, window, tree["cams"],
-            cam_lr_mask, kg, camera, gn_rspec, mspec,
-            mapspec.pose_gn_iters, mapspec.pose_gn_pixels,
-            mapspec.pose_gn_damping)
-
-    return (tree["params"], tree["grids"], tree["cams"],
-            jnp.concatenate(all_losses) if all_losses else jnp.zeros((0,)))
+    losses = (jnp.concatenate(all_losses) if all_losses
+              else jnp.zeros((0,)))
+    return (tree, opt, losses, key) if _with_key else (tree, opt, losses)
 
 
 def _one_map_optimize(params, grids, bound, store, est_buf, idx, color,
@@ -456,7 +489,18 @@ def _one_map_optimize(params, grids, bound, store, est_buf, idx, color,
     window, masks, cams0, cam_lr_mask = prepare_mapping(
         k1, store, color, depth, cur_c2w, grids, bound, camera, mapspec,
         ba, coarse_bound_enlarge)
-    if mesh is not None:
+    if (mesh is not None and "model" in mesh.axis_names
+            and mapspec.nice and not mapspec.coarse_mapper):
+        # grid-sharded (scene-scale) step: grids in halo-exchanged X-slabs
+        # over mesh axis 'model', rays over 'data'
+        # (parallel/grid_sharded.py; the coarse mapper keeps the dense
+        # path below — its grid is tiny and gs shards middle/fine/color)
+        from nice_slam_tpu.parallel.grid_sharded import gs_map_once
+        params, grids, cams, losses = gs_map_once(
+            params, grids, bound, window, cams0, masks, cam_lr_mask,
+            lr_factor, k2, camera, stage_iters, mapspec, rspec, mspec,
+            mesh)
+    elif mesh is not None and "model" not in mesh.axis_names:
         # ray-data-parallel step: each device renders a disjoint ray
         # shard, gradients psum over the mesh (parallel/data_parallel.py)
         from nice_slam_tpu.parallel.data_parallel import dp_map_optimize

@@ -41,6 +41,15 @@ class TrackSpec:
     handle_dynamic: bool = True
     use_color: bool = True
     const_speed: bool = True
+    # Evaluate the tracking loss at BOTH candidate initializations — the
+    # constant-speed extrapolation and the previous pose — on the same
+    # pixel sample, and start from the better one.  The reference trusts
+    # the extrapolation unconditionally (Tracker.py:192-198); after one
+    # badly-tracked frame that compounds (delta of a bad pose is applied
+    # again), which is exactly the divergent-seed failure mode.  Costs two
+    # forward renders per frame (~7% of tracking).  Same spirit as the
+    # reference's min-loss candidate bookkeeping (Tracker.py:232-247).
+    init_select: bool = True
     nice: bool = True
 
 
@@ -96,12 +105,15 @@ def tracking_loss(cam, params, grids, bound, gt_color, gt_depth, key,
     return loss
 
 
-@partial(jax.jit, static_argnames=("camera", "tspec", "rspec", "mspec"))
+@partial(jax.jit, static_argnames=("camera", "tspec", "rspec", "mspec",
+                                   "return_cams"))
 def track_frame(params, grids, bound, cam0, gt_color, gt_depth, key,
                 camera: Camera, tspec: TrackSpec, rspec: RenderSpec,
-                mspec: ModelSpec):
+                mspec: ModelSpec, return_cams: bool = False):
     """Optimize one frame's camera.  Returns (best_cam, first_loss,
-    last_loss, best_loss).
+    last_loss, best_loss) — plus, with return_cams, the (iters, 7)
+    PRE-step camera of every iteration (what the reference's per-iteration
+    visualizer renders, src/Tracker.py:230-231).
 
     The candidate kept is the post-step camera whose pre-step loss was
     minimal — matching the reference's bookkeeping (Tracker.py:232-247)."""
@@ -126,12 +138,15 @@ def track_frame(params, grids, bound, cam0, gt_color, gt_depth, key,
         better = loss < best_loss
         best_cam = jnp.where(better, new_cam, best_cam)
         best_loss = jnp.where(better, loss, best_loss)
-        return (new_cam, new_opt, best_cam, best_loss), loss
+        out = (loss, cam) if return_cams else loss
+        return (new_cam, new_opt, best_cam, best_loss), out
 
     keys = jax.random.split(key, tspec.iters)
-    (_, _, best_cam, best_loss), losses = jax.lax.scan(
+    (_, _, best_cam, best_loss), out = jax.lax.scan(
         step, (cam0, opt0, cam0, jnp.inf), keys)
-    return best_cam, losses[0], losses[-1], best_loss
+    losses = out[0] if return_cams else out
+    res = (best_cam, losses[0], losses[-1], best_loss)
+    return res + (out[1],) if return_cams else res
 
 
 def const_speed_init(pre_c2w, pre_pre_c2w):
@@ -220,7 +235,8 @@ def track_frames_group(params, grids, bound, est_buf, idx0, gt_colors,
 
 
 def _track_step_body(params, grids, bound, est_buf, idx, gt_color, gt_depth,
-                     key, camera, tspec, rspec, mspec):
+                     key, camera, tspec, rspec, mspec,
+                     return_cams: bool = False):
     """Shared body of track_frame_step / track_frames_group (post-RNG,
     post-dequantization)."""
     from nice_slam_tpu.ops import tensor_from_cam, to_homogeneous
@@ -229,12 +245,47 @@ def _track_step_body(params, grids, bound, est_buf, idx, gt_color, gt_depth,
     if tspec.const_speed:
         prepre = est_buf[jnp.maximum(idx - 2, 0)]
         init_c2w = jnp.where(idx >= 2, const_speed_init(pre, prepre), pre)
+        if tspec.init_select:
+            # two-candidate init: keep the extrapolation only if it
+            # renders at least as well as staying at the previous pose
+            # (same pixels for both; the optimization key is untouched,
+            # so frames where the extrapolation wins are bit-identical
+            # to init_select=False)
+            ki = jax.random.fold_in(key, 0x5EED)
+            eval_rspec = dataclasses.replace(rspec, train_decoders=False)
+            loss_cs = tracking_loss(
+                tensor_from_cam(init_c2w), params, grids, bound, gt_color,
+                gt_depth, ki, camera, tspec, eval_rspec, mspec)
+            loss_pre = tracking_loss(
+                tensor_from_cam(pre), params, grids, bound, gt_color,
+                gt_depth, ki, camera, tspec, eval_rspec, mspec)
+            init_c2w = jnp.where(loss_cs <= loss_pre, init_c2w, pre)
     else:
         init_c2w = pre
     cam0 = tensor_from_cam(init_c2w)
-    best_cam, first_loss, last_loss, best_loss = track_frame(
-        params, grids, bound, cam0, gt_color, gt_depth, key, camera,
-        tspec, rspec, mspec)
+    out = track_frame(params, grids, bound, cam0, gt_color, gt_depth, key,
+                      camera, tspec, rspec, mspec, return_cams=return_cams)
+    best_cam, first_loss, last_loss, best_loss = out[:4]
     c2w = to_homogeneous(cam_from_tensor(best_cam))
     est_buf = est_buf.at[idx].set(c2w)
-    return est_buf, first_loss, last_loss, best_loss
+    res = (est_buf, first_loss, last_loss, best_loss)
+    return res + (out[4],) if return_cams else res
+
+
+@partial(jax.jit, static_argnames=("camera", "tspec", "rspec", "mspec"),
+         donate_argnums=(3,))
+def track_frame_step_vis(params, grids, bound, est_buf, idx, gt_color,
+                         gt_depth, key, step_no, camera: Camera,
+                         tspec: TrackSpec, rspec: RenderSpec,
+                         mspec: ModelSpec):
+    """track_frame_step + the (iters, 7) pre-step camera history, for the
+    per-iteration tracking visualizer (reference src/Tracker.py:230-231 +
+    src/utils/Visualizer.py:24-107; the map is frozen during tracking, so
+    re-rendering at these cameras post-dispatch reproduces the
+    reference's panels exactly).  Same RNG stream as track_frame_step."""
+    key = jax.random.fold_in(key, step_no)
+    if gt_color.dtype == jnp.uint8:
+        gt_color = gt_color.astype(jnp.float32) / 255.0
+    return _track_step_body(params, grids, bound, est_buf, idx, gt_color,
+                            gt_depth, key, camera, tspec, rspec, mspec,
+                            return_cams=True)

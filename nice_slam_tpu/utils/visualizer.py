@@ -71,6 +71,77 @@ class Visualizer:
         return out
 
 
+class InsideVisualizer:
+    """Per-ITERATION panels inside tracking/mapping optimizations —
+    the reference's (vis_freq, vis_inside_freq) cadence
+    (src/utils/Visualizer.py:24-107: every inside_freq-th iteration of
+    every freq-th frame renders the full frame and saves
+    {idx:05d}_{iter:04d}.jpg).
+
+    Tracking: the engine fetches the per-iteration camera history from
+    track_frame_step_vis and re-renders against the frozen map — exact
+    reference panels.  Mapping: the engine drives the event as segments
+    of inside_freq iterations (mapping.map_optimize_segment) and renders
+    between them from the mid-optimization grids."""
+
+    def __init__(self, vis_dir: str, freq: int, inside_freq: int):
+        self.vis_dir = vis_dir
+        self.freq = max(int(freq), 1)
+        self.inside_freq = max(int(inside_freq), 1)
+
+    def frame_selected(self, idx: int) -> bool:
+        return idx % self.freq == 0
+
+    def render_panel(self, engine, idx: int, it: int, gt_color, gt_depth,
+                     c2w, params=None, grids=None) -> str:
+        import jax
+        import jax.numpy as jnp
+
+        from nice_slam_tpu.render import render_image
+
+        s = engine.specs
+        depth, _, color = render_image(
+            params if params is not None else engine.map_state.params,
+            s.model,
+            grids if grids is not None else engine.map_state.grids,
+            engine.bound, jnp.asarray(c2w), s.camera,
+            jax.random.PRNGKey(0), s.render, "color",
+            jnp.asarray(gt_depth))
+        gt_c = np.asarray(gt_color)
+        if gt_c.dtype == np.uint8:
+            gt_c = gt_c.astype(np.float32) / 255.0
+        out = os.path.join(self.vis_dir, f"{idx:05d}_{it:04d}.jpg")
+        save_panel(out, np.asarray(gt_depth), gt_c,
+                   np.asarray(depth), np.asarray(color))
+        return out
+
+
+def segment_stage_iters(stage_iters, inside_freq: int):
+    """Split ((stage, n), ...) into segments of <= inside_freq iterations,
+    tagging each with its cumulative starting iterate: returns a list of
+    (start_iter, ((stage, chunk),)).  Panels render BEFORE each segment —
+    the reference renders before the optimization step of the selected
+    iteration (src/Mapper.py:426-430)."""
+    out = []
+    cum = 0
+    for stage, n in stage_iters:
+        done = 0
+        while done < n:
+            chunk = min(inside_freq - (cum % inside_freq), n - done)
+            out.append((cum, ((stage, chunk),)))
+            cum += chunk
+            done += chunk
+    # merge segments that do not start on an inside_freq boundary into
+    # their predecessor (they exist only to realign stage boundaries)
+    merged = []
+    for start, seg in out:
+        if merged and start % inside_freq != 0:
+            merged[-1] = (merged[-1][0], merged[-1][1] + seg)
+        else:
+            merged.append((start, seg))
+    return merged
+
+
 def make_engine_vis_hook(vis_dir: str, freq: int = 50,
                          by_call_count: bool = False):
     """Engine-level hook: render a panel every `freq` frames — or, with
