@@ -77,21 +77,41 @@ def main():
             pass
 
     pipelined = bool(cfg["tpu"].get("pipelined"))
-    if pipelined:
-        from nice_slam_tpu.parallel.pipelined import PipelinedSlamEngine
-        eng = PipelinedSlamEngine(cfg, mesher_hook=mesher_hook)
-    else:
-        eng = SlamEngine(cfg, mesher_hook=mesher_hook)
-    if args.vis:
+
+    def latest_ckpt(output: str):
+        import glob
+        cks = sorted(glob.glob(os.path.join(output, "ckpts", "*.npz")))
+        return cks[-1] if cks else None
+
+    def build_and_run():
+        # rebuildable unit for transient-backend retry: a failed attempt's
+        # donated device buffers are discarded with the engine; the retry
+        # resumes from the newest checkpoint (if any) instead of frame 0
         if pipelined:
-            print("note: tpu.pipelined tracks in frame groups — keeping "
-                  "mapping panels only (no per-frame tracking panels)")
-        eng.enable_visualizer(mapping_only=pipelined)
-    if args.resume:
-        eng.resume(args.resume)
-    from nice_slam_tpu.utils.profiling import xla_trace
-    with xla_trace(args.profile):
-        eng.run(n_frames=args.frames, progress=True)
+            from nice_slam_tpu.parallel.pipelined import PipelinedSlamEngine
+            eng = PipelinedSlamEngine(cfg, mesher_hook=mesher_hook)
+        else:
+            eng = SlamEngine(cfg, mesher_hook=mesher_hook)
+        if args.vis:
+            if pipelined:
+                print("note: tpu.pipelined tracks in frame groups — "
+                      "keeping mapping panels only (no per-frame tracking "
+                      "panels)")
+            eng.enable_visualizer(mapping_only=pipelined)
+        resume_from = args.resume or (
+            latest_ckpt(eng.output) if build_and_run.attempted else None)
+        if resume_from:
+            print(f"resuming from {resume_from}")
+            eng.resume(resume_from)
+        build_and_run.attempted = True
+        from nice_slam_tpu.utils.profiling import xla_trace
+        with xla_trace(args.profile):
+            eng.run(n_frames=args.frames, progress=True)
+        return eng
+
+    build_and_run.attempted = False
+    from nice_slam_tpu.utils.retry import retry_transient
+    eng = retry_transient(build_and_run, attempts=3, label="slam run")
 
     stats = eng.ate()
     print(json.dumps({"ate_rmse_m": stats["rmse"],
