@@ -21,7 +21,8 @@ _build_failed = False
 
 def _build() -> Optional[ctypes.CDLL]:
     global _build_failed
-    srcs = [os.path.join(_DIR, "marching_cubes.cpp")]
+    srcs = [os.path.join(_DIR, "marching_cubes.cpp"),
+            os.path.join(_DIR, "rasterize.cpp")]
     extra = os.path.join(_DIR, "mesh_ops.cpp")
     if os.path.exists(extra):
         srcs.append(extra)
@@ -50,6 +51,13 @@ def _build() -> Optional[ctypes.CDLL]:
                            ctypes.POINTER(ctypes.c_int64)]
     lib.mt_free.restype = None
     lib.mt_free.argtypes = [ctypes.c_void_p]
+    lib.raster_depth.restype = None
+    lib.raster_depth.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, ctypes.c_float, ctypes.POINTER(ctypes.c_float)]
     return lib
 
 
@@ -177,3 +185,101 @@ def _marching_tetrahedra_numpy(vol, iso, origin, spacing):
     tris = (np.asarray(tris, np.int64) if tris
             else np.zeros((0, 3), np.int64))
     return verts, tris
+
+
+# ---------------------------------------------------------------------------
+# Depth rasterization (rasterize.cpp): z-buffer triangle renderer used by
+# the 2D reconstruction eval (full-buffer depth-L1 parity with the
+# reference's Open3D offscreen renders, src/tools/eval_recon.py:153-204).
+
+def rasterize_depth(verts: np.ndarray, tris: np.ndarray, c2w: np.ndarray,
+                    H: int, W: int, fx: float, fy: float, cx: float,
+                    cy: float, z_near: float = 0.01,
+                    z_far: float = 20.0) -> np.ndarray:
+    """Render the mesh's depth buffer from camera pose `c2w` (4x4).
+
+    Returns (H, W) f32 view-space depth; 0 where no geometry (matching an
+    Open3D depth capture).  Camera: x right, y up, -z forward."""
+    verts = np.ascontiguousarray(verts, np.float32)
+    tris = np.ascontiguousarray(tris, np.int64)
+    w2c = np.ascontiguousarray(np.linalg.inv(np.asarray(c2w, np.float64)),
+                               np.float32)
+    lib = get_lib()
+    if lib is not None and len(tris):
+        out = np.empty((H, W), np.float32)
+        lib.raster_depth(
+            verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(verts),
+            tris.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(tris),
+            w2c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            H, W, ctypes.c_float(fx), ctypes.c_float(fy),
+            ctypes.c_float(cx), ctypes.c_float(cy),
+            ctypes.c_float(z_near), ctypes.c_float(z_far),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out
+    return _rasterize_depth_numpy(verts, tris, w2c, H, W, fx, fy, cx, cy,
+                                  z_near, z_far)
+
+
+def _rasterize_depth_numpy(verts, tris, w2c, H, W, fx, fy, cx, cy,
+                           z_near, z_far):
+    """Pure-numpy fallback (per-triangle loop; also the test oracle)."""
+    out = np.zeros((H, W), np.float32)
+    if len(tris) == 0:
+        return out
+    cam = verts @ w2c[:3, :3].T + w2c[:3, 3]
+    zcap = -z_near
+    for t in range(len(tris)):
+        c = cam[tris[t]]
+        front = c[:, 2] < zcap
+        if not front.any():
+            continue
+        # near-plane clip to a polygon
+        poly = []
+        for k in range(3):
+            a, b = c[k], c[(k + 1) % 3]
+            if front[k]:
+                poly.append(a)
+            if front[k] != front[(k + 1) % 3]:
+                tt = (zcap - a[2]) / (b[2] - a[2])
+                poly.append(a + tt * (b - a))
+        if len(poly) < 3:
+            continue
+        fan = [(poly[0], poly[i], poly[i + 1])
+               for i in range(1, len(poly) - 1)]
+        for (p0, p1, p2) in fan:
+            P = np.stack([p0, p1, p2])
+            invd = -1.0 / P[:, 2]
+            u = fx * P[:, 0] * invd + cx
+            v = -fy * P[:, 1] * invd + cy
+            area = ((u[1] - u[0]) * (v[2] - v[0])
+                    - (u[2] - u[0]) * (v[1] - v[0]))
+            if abs(area) < 1e-12:
+                continue
+            x0 = max(0, int(np.floor(u.min())))
+            x1 = min(W - 1, int(np.ceil(u.max())))
+            y0 = max(0, int(np.floor(v.min())))
+            y1 = min(H - 1, int(np.ceil(v.max())))
+            if x0 > x1 or y0 > y1:
+                continue
+            xs, ys = np.meshgrid(np.arange(x0, x1 + 1),
+                                 np.arange(y0, y1 + 1))
+            b0 = ((u[1] - xs) * (v[2] - ys)
+                  - (u[2] - xs) * (v[1] - ys)) / area
+            b1 = ((u[2] - xs) * (v[0] - ys)
+                  - (u[0] - xs) * (v[2] - ys)) / area
+            b2 = 1.0 - b0 - b1
+            inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0)
+            w_interp = b0 * invd[0] + b1 * invd[1] + b2 * invd[2]
+            inside &= w_interp > 0
+            if not inside.any():
+                continue
+            d = np.where(inside, 1.0 / np.maximum(w_interp, 1e-12), np.inf)
+            d = np.where(d > z_far, np.inf, d)
+            tile = out[y0:y1 + 1, x0:x1 + 1]
+            cur = np.where(tile == 0.0, np.inf, tile)
+            new = np.minimum(cur, d)
+            out[y0:y1 + 1, x0:x1 + 1] = np.where(
+                np.isfinite(new), new, 0.0).astype(np.float32)
+    return out

@@ -97,7 +97,15 @@ def _hull_mask(pts: np.ndarray, kf_c2w: np.ndarray, kf_depth: np.ndarray,
                camera: Camera, scale: float) -> Optional[np.ndarray]:
     """Convex-hull containment of backprojected keyframe depth clouds +
     camera centers, scaled about its centroid (reference
-    get_bound_from_frames, Mesher.py:214-279)."""
+    get_bound_from_frames, Mesher.py:214-279).
+
+    Parity note: the reference's scene bound is ALSO a convex hull — its
+    Open3D TSDF fusion only produces the surface point set; the bound is
+    `compute_convex_hull` of those points + camera centers
+    (Mesher.py:266-271), then scaled by clean_mesh_bound_scale.  The
+    backprojected depth samples here are the same surface point set up to
+    TSDF denoising, so both implementations over-cover non-convex (e.g.
+    L-shaped) rooms identically by construction."""
     try:
         from scipy.spatial import Delaunay
     except ImportError:  # pragma: no cover

@@ -118,21 +118,117 @@ class TestEvalRecon:
         assert m["accuracy_cm"] < 2.0
         assert m["completion_ratio_pct"] > 99.0
 
-    def test_splat_depth(self):
-        import sys, os
-        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
-                                        "tools"))
-        from eval_recon import splat_depth
+    def test_rasterize_depth_sphere(self):
+        """Native z-buffer rasterizer: camera at z=3 looking down -z at a
+        sphere of radius 0.6 -> center depth 2.4, empty pixels 0."""
+        from nice_slam_tpu.native import rasterize_depth
 
         vol, origin, spacing = sphere_volume()
         v, t = marching_tetrahedra(vol, 0.0, origin, spacing)
         c2w = np.eye(4)
-        c2w[2, 3] = 3.0  # camera at z=3 looking down -z at sphere r=.6
-        d = splat_depth(v, t, c2w, 64, 64, 64.0, 64.0, 31.5, 31.5)
-        center = d[28:36, 28:36]
-        center = center[center > 0]
-        assert len(center) > 10
+        c2w[2, 3] = 3.0
+        d = rasterize_depth(v, t, c2w, 64, 64, 64.0, 64.0, 31.5, 31.5)
+        center = d[30:34, 30:34]
+        assert (center > 0).all()   # full coverage (no splat holes)
         np.testing.assert_allclose(center.mean(), 2.4, atol=0.05)
+        # corners see past the sphere: empty -> 0 like an Open3D buffer
+        assert d[0, 0] == 0.0 and d[-1, -1] == 0.0
+
+    def test_rasterize_native_matches_numpy_oracle(self):
+        from nice_slam_tpu.native import (
+            _rasterize_depth_numpy,
+            get_lib,
+            rasterize_depth,
+        )
+
+        if get_lib() is None:
+            import pytest
+            pytest.skip("no native toolchain")
+        vol, origin, spacing = sphere_volume()
+        v, t = marching_tetrahedra(vol, 0.0, origin, spacing)
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.3, -0.2, 2.5]
+        d_c = rasterize_depth(v, t, c2w, 48, 56, 50.0, 50.0, 27.5, 23.5)
+        w2c = np.linalg.inv(c2w).astype(np.float32)
+        d_py = _rasterize_depth_numpy(
+            np.ascontiguousarray(v, np.float32),
+            np.ascontiguousarray(t, np.int64), w2c,
+            48, 56, 50.0, 50.0, 27.5, 23.5, 0.01, 20.0)
+        np.testing.assert_allclose(d_c, d_py, atol=1e-4)
+
+    def test_rasterize_near_plane_clipping(self):
+        """A triangle straddling the camera plane must be clipped, not
+        dropped or smeared across the image."""
+        from nice_slam_tpu.native import rasterize_depth
+
+        # vertical wall passing BEHIND and in front of the camera
+        v = np.array([[0.5, -5, 5], [0.5, -5, -5], [0.5, 5, -5],
+                      [0.5, 5, 5]], np.float32)
+        t = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+        d = rasterize_depth(v, t, np.eye(4), 64, 64, 32.0, 32.0,
+                            31.5, 31.5)
+        assert (d >= 0).all() and np.isfinite(d).all()
+        # wall is at x=0.5, to the camera's right: right half of the
+        # image hits it, left half is empty
+        assert (d[:, 48:] > 0).mean() > 0.9
+        assert (d[:, :16] == 0).all()
+
+    def test_2d_metric_identical_meshes_is_zero(self):
+        import os
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "tools"))
+        from eval_recon import calc_2d_metric
+
+        vol, origin, spacing = sphere_volume()
+        v, t = marching_tetrahedra(vol, 0.0, origin, spacing)
+        m = calc_2d_metric((v, t, None), (v, t, None), pc_unseen=None,
+                           n_views=5, align=False)
+        assert m["views_used"] == 5
+        assert m["depth_l1_cm"] < 1e-3, m
+
+    def test_2d_metric_rejects_views_seeing_unseen_points(self):
+        """Reference semantics (eval_recon.py:146-177): candidate views
+        in which unseen GT points are visible must be resampled."""
+        import os
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "tools"))
+        from eval_recon import calc_2d_metric
+
+        vol, origin, spacing = sphere_volume()
+        v, t = marching_tetrahedra(vol, 0.0, origin, spacing)
+        # unseen points densely surrounding the scene: every view sees
+        # some -> every sample is rejected through the retry cap
+        th = np.linspace(0, 2 * np.pi, 64)
+        ring = np.stack([2.5 * np.cos(th), 2.5 * np.sin(th),
+                         np.zeros_like(th)], 1)
+        ring = np.concatenate([ring, ring[:, [0, 2, 1]], ring[:, [2, 0, 1]]])
+        m = calc_2d_metric((v, t, None), (v, t, None), pc_unseen=ring,
+                           n_views=2, align=False)
+        assert m["views_rejected"] > 0
+
+    def test_unseen_points_split(self):
+        import os
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "tools"))
+        from cull_mesh import unseen_points
+
+        vol, origin, spacing = sphere_volume()
+        v, t = marching_tetrahedra(vol, 0.0, origin, spacing)
+        c2w = np.eye(4)
+        c2w[2, 3] = 3.0
+        # narrow FOV (~9 deg): the frustum contains only a thin cone
+        # around the +z pole; everything else is unseen (the cull test is
+        # pure frustum containment, like the reference's)
+        pts = unseen_points(v, t, [c2w], 64, 64, 400.0, 400.0, 31.5, 31.5,
+                            n_samples=4000)
+        assert 0 < len(pts) < 4000
+        # the near-axis +z cap is seen, so it is absent from the unseen set
+        cap = (pts[:, 2] > 0.55) & (np.abs(pts[:, 0]) < 0.1) & \
+              (np.abs(pts[:, 1]) < 0.1)
+        assert cap.sum() == 0
 
 
 class TestCullMesh:

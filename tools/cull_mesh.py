@@ -17,11 +17,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def cull(verts, tris, poses, H, W, fx, fy, cx, cy):
-    inside_any = np.zeros(len(verts), bool)
+def seen_mask(points, poses, H, W, fx, fy, cx, cy):
+    """Per-point: inside at least one camera frustum along the
+    trajectory (the reference's per-frame projection test,
+    src/tools/cull_mesh.py:49-71)."""
+    inside_any = np.zeros(len(points), bool)
     for c2w in poses:
         w2c = np.linalg.inv(c2w)
-        pc = verts @ w2c[:3, :3].T + w2c[:3, 3]
+        pc = points @ w2c[:3, :3].T + w2c[:3, 3]
         z = pc[:, 2]
         front = z < 0
         u = fx * (-pc[:, 0]) / (z - 1e-9) + cx
@@ -29,8 +32,25 @@ def cull(verts, tris, poses, H, W, fx, fy, cx, cy):
         inside_any |= front & (u >= 0) & (u < W) & (v >= 0) & (v < H)
         if inside_any.all():
             break
-    keep = inside_any[tris].all(axis=1)
+    return inside_any
+
+
+def cull(verts, tris, poses, H, W, fx, fy, cx, cy):
+    keep = seen_mask(verts, poses, H, W, fx, fy, cx, cy)[tris].all(axis=1)
     return tris[keep]
+
+
+def unseen_points(verts, tris, poses, H, W, fx, fy, cx, cy,
+                  n_samples: int = 200_000, seed: int = 0):
+    """Surface samples of the mesh never inside any frustum — the
+    `*_pc_unseen.npy` point set the reference's 2D eval uses for
+    view rejection (src/tools/eval_recon.py:145-175)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.eval_recon import sample_surface
+
+    pts = sample_surface(verts, tris, n_samples, seed=seed)
+    return pts[~seen_mask(pts, poses, H, W, fx, fy, cx, cy)]
 
 
 def main():
@@ -46,6 +66,10 @@ def main():
     ap.add_argument("--fy", type=float, default=600.0)
     ap.add_argument("--cx", type=float, default=599.5)
     ap.add_argument("--cy", type=float, default=339.5)
+    ap.add_argument("--save_unseen", action="store_true",
+                    help="also save <output>_pc_unseen.npy: surface "
+                         "samples never seen by the trajectory (used by "
+                         "eval_recon -2d for view rejection)")
     args = ap.parse_args()
 
     from nice_slam_tpu.utils.plyio import read_ply, write_ply
@@ -61,6 +85,13 @@ def main():
     out = args.output or args.input_mesh.replace(".ply", "_culled.ply")
     write_ply(out, verts, tris2, colors)
     print(f"kept {len(tris2)}/{len(tris)} faces -> {out}")
+
+    if args.save_unseen:
+        pts = unseen_points(verts, tris, poses, args.H, args.W, args.fx,
+                            args.fy, args.cx, args.cy)
+        upath = out.replace(".ply", "_pc_unseen.npy")
+        np.save(upath, pts.astype(np.float32))
+        print(f"saved {len(pts)} unseen surface points -> {upath}")
 
 
 if __name__ == "__main__":
