@@ -207,6 +207,34 @@ def gs_eval_points(params, mspec: ModelSpec, slabs, bound, shapes,
     return fn(params, slabs, bound, pts)
 
 
+def gs_map_once(params, grids, bound, window, cams0, masks, cam_lr_mask,
+                lr_factor, key, camera: Camera,
+                stage_iters: Tuple[Tuple[str, int], ...],
+                mapspec: MapSpec, rspec: RenderSpec, mspec: ModelSpec,
+                mesh: Mesh):
+    """Engine adapter: run ONE mapping optimization with the grids sharded
+    into X-slabs over `mesh` axis 'model' and rays over 'data', from/to
+    the engine's DENSE grid dict — the drop-in analogue of
+    mapping.map_optimize for the grid-sharded mode (cfg tpu.grid_sharded).
+
+    The dense->slab->dense round trip keeps the engine state, tracking
+    path and checkpoints unchanged; the optimization itself (interp,
+    backward scatter, halo exchange) runs fully sharded.  On a real
+    multi-host deployment the slabs would stay resident (the round trip
+    is a per-event reshape, not a host transfer)."""
+    n_model = mesh.shape["model"]
+    slabs, shapes = shard_grids(grids, n_model)
+    mask_slabs = {n: shard_grid_x(masks[n], n_model) for n in slabs}
+    params, slabs, cams, losses = gs_map_optimize(
+        params, slabs, bound, window, cams0, mask_slabs, cam_lr_mask,
+        lr_factor, key, camera, stage_iters, mapspec, rspec, mspec,
+        shapes, mesh)
+    new_grids = dict(grids)
+    for name, sl in slabs.items():
+        new_grids[name] = unshard_grid_x(sl, shapes[name][0])
+    return params, new_grids, cams, losses
+
+
 # ---------------------------------------------------------------------------
 # Sharded mapping optimization
 

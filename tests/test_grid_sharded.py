@@ -159,3 +159,48 @@ class TestShardedMapping:
         g1 = np.asarray(jax.device_get(
             unshard_grid_x(slabs2["middle"], state.grids["middle"].shape[0])))
         assert np.abs(g1 - g0).max() > 0
+
+
+class TestEngineGridSharded:
+    def test_engine_routes_mapping_through_gs_and_converges(self):
+        """cfg tpu.grid_sharded: [n_data, n_model] must be drivable from
+        the engine (VERDICT r2 #6): mapping runs through gs_map_once on a
+        2D mesh and the run converges like the dense one."""
+        from nice_slam_tpu.config import load_config
+        from nice_slam_tpu.engine import SlamEngine
+
+        base = {
+            "dataset": "synthetic",
+            "synthetic": {"n_frames": 9},
+            "cam": {"H": 60, "W": 80, "fx": 60.0, "fy": 60.0,
+                    "cx": 39.5, "cy": 29.5, "crop_edge": 0},
+            "grid_len": {"coarse": 1.0, "middle": 0.32, "fine": 0.16,
+                         "color": 0.16},
+            "mapping": {"bound": [[-0.5, 4.5], [-0.5, 3.5], [-0.5, 4.5]],
+                        "marching_cubes_bound":
+                            [[0.0, 4.0], [0.0, 3.0], [0.0, 4.0]],
+                        "every_frame": 4, "iters_first": 120, "iters": 25,
+                        "pixels": 400, "mapping_window_size": 4,
+                        "keyframe_every": 4, "ckpt_freq": 10000,
+                        "mesh_freq": 10000, "color_refine": False},
+            "tracking": {"iters": 8, "pixels": 200, "ignore_edge_W": 5,
+                         "ignore_edge_H": 5},
+            "rendering": {"N_samples": 24, "N_surface": 12},
+        }
+        rmse = {}
+        for mode, tpu in (("dense", {"seed": 0}),
+                          ("gs", {"seed": 0, "grid_sharded": [2, 2]})):
+            cfg = load_config(overrides={**base, "tpu": tpu})
+            eng = SlamEngine(cfg, output=f"/tmp/nice_slam_gs_{mode}")
+            if mode == "gs":
+                assert eng.mesh is not None
+                assert dict(zip(eng.mesh.axis_names,
+                                eng.mesh.devices.shape)) == \
+                    {"data": 2, "model": 2}
+            eng.run()
+            assert np.isfinite(eng.est_c2w[:9]).all()
+            rmse[mode] = eng.ate()["rmse"]
+        # both runs converge on the synthetic scene (not bit-identical:
+        # the gs sampler draws per-device disjoint ray shards)
+        assert rmse["dense"] < 0.25, rmse
+        assert rmse["gs"] < 0.25, rmse
