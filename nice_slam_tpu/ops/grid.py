@@ -175,10 +175,12 @@ def _moment_scatter_bwd(res, g):
     # Optional bf16 MOMENT BUFFER (env NICE_SLAM_TPU_MSCATTER_BF16): the
     # (Ncells, 8C) buffer's dense zero-init + fold reads dominate the
     # backward's HBM traffic once Ncells >> N (e.g. 172k cells x 2 KB rows
-    # for a fine||color pair); storing it bf16 halves that.  Costs bf16
-    # rounding on the per-cell ADDS (2-3 contributions/cell typical) —
-    # gradient quality must be re-validated (seed-averaged ATE) before
-    # defaulting this on.  OFF by default.
+    # for a fine||color pair); storing it bf16 halves that.  MEASURED
+    # NEGATIVE (round 3): +4.4% bench fps (14.74 -> 15.38) but bf16
+    # rounding of the per-cell adds wrecks the map gradients — 0.59 m ATE
+    # vs 0.08 m baseline on the 120-frame synthetic (seed 0).  Keep OFF;
+    # kept only as an A/B knob for future grids with more contributions
+    # per cell.
     mdt = (jnp.bfloat16
            if os.environ.get("NICE_SLAM_TPU_MSCATTER_BF16", "0") == "1"
            else g.dtype)
@@ -186,13 +188,22 @@ def _moment_scatter_bwd(res, g):
     m = jnp.zeros(((nx - 1) * (ny - 1) * (nz - 1), 8 * C), mdt)
     m = m.at[cell].add(vals.astype(mdt),
                        mode="promise_in_bounds")            # in-range by clip
-    m = m.reshape(nx - 1, ny - 1, nz - 1, 2, 2, 2, C)
 
+    # fold the cell moments onto grid vertices.  Per-corner slabs are cut
+    # as flat LANE slices m[:, kC:(k+1)C] (contiguous in the row-major
+    # moment buffer) rather than reshaping to (..., 2, 2, 2, C) and
+    # slicing the middle dims — the 7-D form made XLA materialize a
+    # relaid-out copy of the whole buffer per backward (~3 ms/group in the
+    # round-3 trace); the lane-slice form is copy-free and bit-identical
+    # (same adds, same order).
     gg = None
     for a in (0, 1):
         for b in (0, 1):
             for c in (0, 1):
-                part = jnp.pad(m[..., a, b, c, :],
+                k = ((a * 2) + b) * 2 + c
+                slab = m[:, k * C:(k + 1) * C].reshape(
+                    nx - 1, ny - 1, nz - 1, C)
+                part = jnp.pad(slab,
                                ((a, 1 - a), (b, 1 - b), (c, 1 - c), (0, 0)))
                 gg = part if gg is None else gg + part
     return (gg.astype(g.dtype) if gg.dtype != g.dtype else gg), gp
