@@ -33,3 +33,23 @@ try:
     torch.set_num_threads(1)
 except ImportError:
     pass
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    Full-suite runs (~150 tests, hundreds of distinct XLA:CPU programs
+    alive in one process) intermittently SEGFAULT inside
+    `backend_compile_and_load` on a later compile (observed twice in
+    round 3, different tests each time; every <=6-file subset of the same
+    suite is green).  The crash is load-dependent compiler state, not any
+    one test.  Clearing jax's executable caches at module boundaries
+    bounds the live-program count; re-runs re-trace but reload compiled
+    artifacts from the persistent cache, so the time cost is small."""
+    yield
+    import jax
+
+    jax.clear_caches()
