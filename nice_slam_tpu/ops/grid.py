@@ -124,11 +124,20 @@ def _interp_impl_mirror(grid: jnp.ndarray, p_nor: jnp.ndarray,
         axis=-1).reshape((nx - 1) * (ny - 1) * (nz - 1), 8 * C)
 
     cell = (i0[:, 0] * (ny - 1) + i0[:, 1]) * (nz - 1) + i0[:, 2]
-    rows = mirror[cell].reshape(-1, 8, C).astype(p_nor.dtype)  # (N, 8, C)
+    rows = mirror[cell]                                        # (N, 8C)
     w = _corner_weights(f)                                     # (N, 8)
     # explicit VPU multiply-sum, NOT einsum/dot: an 8-long contraction
-    # lowered onto the MXU would round the f32 weights/features to bf16
-    return jnp.sum(rows * w[:, :, None], axis=1)
+    # lowered onto the MXU would round the f32 weights/features to bf16.
+    # Accumulate over LANE SLICES of the gathered row rather than a
+    # reshape-to-(N, 8, C) reduction: the slice form keeps every
+    # intermediate row-major, so both this forward and its vjp (the
+    # d/dw contraction in the pose backward) lower without the relayout
+    # copies the (N, 8, C) form provoked (round-3 xprof: ~7 ms/group).
+    out = None
+    for k in range(8):
+        term = rows[:, k * C:(k + 1) * C].astype(p_nor.dtype) * w[:, k:k + 1]
+        out = term if out is None else out + term
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -170,7 +179,10 @@ def _moment_scatter_bwd(res, g):
                   jnp.array([nx - 2, ny - 2, nz - 2]))
     f = u - i0.astype(u.dtype)
     w = _corner_weights(f)                                  # (N, 8)
-    vals = (w[:, :, None] * g[:, None, :]).reshape(-1, 8 * C)
+    # corner-major lane layout matching the fold's slices; built as a
+    # lane concat of 8 row-major products (the broadcast-reshape form
+    # materialized column-major and cost a relayout copy per backward)
+    vals = jnp.concatenate([w[:, k:k + 1] * g for k in range(8)], axis=1)
 
     # Optional bf16 MOMENT BUFFER (env NICE_SLAM_TPU_MSCATTER_BF16): the
     # (Ncells, 8C) buffer's dense zero-init + fold reads dominate the
