@@ -68,6 +68,7 @@ DEFAULTS: Dict[str, Any] = {
         "seperate_LR": False,
         "const_speed_assumption": True,
         "init_select": True,
+        "init_select_margin": 3.0,
         "no_vis_on_first_frame": True,
         "gt_camera": False,
         "lr": 0.001,
@@ -276,7 +277,8 @@ def specs_from_config(cfg: dict) -> SlamSpecs:
         handle_dynamic=t["handle_dynamic"],
         use_color=t["use_color_in_tracking"],
         const_speed=t["const_speed_assumption"],
-        init_select=t["init_select"], nice=nice,
+        init_select=t["init_select"],
+        init_select_margin=t["init_select_margin"], nice=nice,
     )
     m = cfg["mapping"]
     stage_lr = tuple(sorted(

@@ -41,15 +41,29 @@ class TrackSpec:
     handle_dynamic: bool = True
     use_color: bool = True
     const_speed: bool = True
-    # Evaluate the tracking loss at BOTH candidate initializations — the
-    # constant-speed extrapolation and the previous pose — on the same
-    # pixel sample, and start from the better one.  The reference trusts
-    # the extrapolation unconditionally (Tracker.py:192-198); after one
+    # Evaluate BOTH candidate initializations — the constant-speed
+    # extrapolation and the previous pose — on the same pixel sample, and
+    # REJECT the extrapolation only when its median absolute depth
+    # residual is catastrophically worse (> init_select_margin x the
+    # previous pose's, floored at 1 cm).  The reference trusts the
+    # extrapolation unconditionally (Tracker.py:192-198); after one
     # badly-tracked frame that compounds (delta of a bad pose is applied
-    # again), which is exactly the divergent-seed failure mode.  Costs two
-    # forward renders per frame (~7% of tracking).  Same spirit as the
-    # reference's min-loss candidate bookkeeping (Tracker.py:232-247).
+    # again) — the divergent-seed failure mode this guards.  Two design
+    # points, both measured (round 3):
+    #  - the asymmetric margin is essential: a symmetric "start from
+    #    whichever scores lower" pick is biased toward the STALE pose
+    #    (the extrapolated view always sees a strip of newly-revealed,
+    #    less-trained map), and with a 10-iteration budget that bias
+    #    compounds into a full-motion-per-frame lag — 0.48 m vs 0.08 m
+    #    ATE on the 120-frame synthetic;
+    #  - the signal must be the raw depth-residual median, not the
+    #    tracking loss: the loss's uncertainty normalization + 10x-median
+    #    outlier mask compress a 1.5 m-wrong pose to only ~2x a correct
+    #    one, while the unnormalized median separates them by orders of
+    #    magnitude (cm vs m).
+    # Costs two forward renders per frame (~7% of tracking).
     init_select: bool = True
+    init_select_margin: float = 3.0
     nice: bool = True
 
 
@@ -103,6 +117,32 @@ def tracking_loss(cam, params, grids, bound, gt_color, gt_depth, key,
         closs = jnp.sum(jnp.abs(batch_c - color) * mask[:, None])
         loss = loss + tspec.w_color_loss * closs
     return loss
+
+
+def tracking_depth_median(cam, params, grids, bound, gt_depth, key,
+                          camera: Camera, tspec: TrackSpec,
+                          rspec: RenderSpec, mspec: ModelSpec):
+    """Median ABSOLUTE depth residual (meters) of a candidate camera over
+    one pixel sample — the init_select comparison signal.
+
+    Deliberately NOT the tracking loss: the loss divides by sqrt(depth
+    variance) and masks residuals > 10x their median (handle_dynamic), so
+    a catastrophically wrong pose — uniformly large residuals, huge
+    median, little masked — scores only ~2x a correct one (measured), while
+    an un-normalized median separates them by orders of magnitude (cm vs
+    m)."""
+    c2w = cam_from_tensor(cam)
+    kpix, krender = jax.random.split(key)
+    i, j = sample_pixels(kpix, tspec.pixels,
+                         tspec.ignore_edge_h, camera.H - tspec.ignore_edge_h,
+                         tspec.ignore_edge_w, camera.W - tspec.ignore_edge_w)
+    rays_o, rays_d = rays_from_uv(i, j, c2w, camera.fx, camera.fy,
+                                  camera.cx, camera.cy)
+    batch_d = gather_pixels(gt_depth, i, j)
+    depth, _, _, _ = render_rays(params, mspec, grids, bound,
+                                 rays_o, rays_d, krender, rspec,
+                                 stage="color", gt_depth=batch_d)
+    return masked_median(jnp.abs(batch_d - depth), batch_d > 0)
 
 
 @partial(jax.jit, static_argnames=("camera", "tspec", "rspec", "mspec",
@@ -253,13 +293,21 @@ def _track_step_body(params, grids, bound, est_buf, idx, gt_color, gt_depth,
             # to init_select=False)
             ki = jax.random.fold_in(key, 0x5EED)
             eval_rspec = dataclasses.replace(rspec, train_decoders=False)
-            loss_cs = tracking_loss(
-                tensor_from_cam(init_c2w), params, grids, bound, gt_color,
+            med_cs = tracking_depth_median(
+                tensor_from_cam(init_c2w), params, grids, bound,
                 gt_depth, ki, camera, tspec, eval_rspec, mspec)
-            loss_pre = tracking_loss(
-                tensor_from_cam(pre), params, grids, bound, gt_color,
+            med_pre = tracking_depth_median(
+                tensor_from_cam(pre), params, grids, bound,
                 gt_depth, ki, camera, tspec, eval_rspec, mspec)
-            init_c2w = jnp.where(loss_cs <= loss_pre, init_c2w, pre)
+            # floor med_pre at 1 cm so a near-perfectly-rendered previous
+            # pose cannot reject a normal extrapolation on noise
+            keep = med_cs <= (tspec.init_select_margin
+                              * jnp.maximum(med_pre, 0.01))
+            if __import__("os").environ.get("NICE_SLAM_TPU_DEBUG_INIT"):
+                jax.debug.print(
+                    "initsel idx={i} med_cs={a} med_pre={b} keep={k}",
+                    i=idx, a=med_cs, b=med_pre, k=keep)
+            init_c2w = jnp.where(keep, init_c2w, pre)
     else:
         init_c2w = pre
     cam0 = tensor_from_cam(init_c2w)
