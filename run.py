@@ -48,15 +48,15 @@ def main():
 
     overrides = {}
     if args.synthetic is not None:
+        # the synthetic family yaml is the single source of the scene's
+        # camera/bounds/budgets; --synthetic only sets the frame count
+        if args.config is None:
+            args.config = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "configs", "Synthetic", "synthetic.yaml")
         overrides = {
             "dataset": "synthetic",
             "synthetic": {"n_frames": args.synthetic},
-            "cam": {"H": 240, "W": 320, "fx": 240.0, "fy": 240.0,
-                    "cx": 159.5, "cy": 119.5},
-            "grid_len": {"coarse": 1.0},
-            "mapping": {"bound": [[-0.5, 4.5], [-0.5, 3.5], [-0.5, 4.5]],
-                        "marching_cubes_bound":
-                            [[0.0, 4.0], [0.0, 3.0], [0.0, 4.0]]},
             "data": {"output": "output/synthetic"},
         }
     if args.seed is not None:
