@@ -48,6 +48,17 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BASELINE_FPS = 0.6  # documented estimate of the reference's GPU throughput
+# honest provenance for the denominator: the reference repo publishes NO
+# throughput number (SURVEY §6); 0.6 fps is an estimate from wall-clock
+# reports of NICE-SLAM on Replica (~1 h / 2000 frames on an RTX-3090-class
+# GPU).  vs_baseline inherits this uncertainty — the >=5x target holds
+# even under a 3 fps baseline.
+BASELINE_PROVENANCE = {
+    "fps": BASELINE_FPS,
+    "provenance": "estimate",
+    "basis": "reference publishes no number; ~1h/2000-frame Replica "
+             "wall-clock reports on RTX-3090-class GPU",
+}
 
 
 def build_cfg(n_frames: int):
@@ -210,13 +221,17 @@ def child_main(args):
     raises instead of hanging)."""
     from nice_slam_tpu.utils.retry import retry_transient
 
+    stats = {}
     fps = retry_transient(lambda: run_attempt(args), attempts=2,
-                          label="bench attempt")
+                          label="bench attempt", stats=stats)
     print(json.dumps({
         "metric": "tracked+mapped frames/s per chip (Replica budget)",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
+        "baseline_anchor": BASELINE_PROVENANCE,
+        "retry_attempts_used": stats.get("attempts", 1),
+        "transient_errors": stats.get("transient_errors", []),
     }), flush=True)
 
 

@@ -11,6 +11,7 @@ so shapes stay static.
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -142,7 +143,15 @@ def tracking_depth_median(cam, params, grids, bound, gt_depth, key,
     depth, _, _, _ = render_rays(params, mspec, grids, bound,
                                  rays_o, rays_d, krender, rspec,
                                  stage="color", gt_depth=batch_d)
-    return masked_median(jnp.abs(batch_d - depth), batch_d > 0)
+    mask = batch_d > 0
+    if tspec.nice:
+        # same ray-AABB inside filter as tracking_loss: rays whose GT
+        # depth exits the map bound would contribute clamped/garbage
+        # rendered depths to the median (both candidates share the pixel
+        # sample, so the filter is fair)
+        t_exit = ray_aabb_far(rays_o, rays_d, bound)
+        mask = mask & (t_exit >= batch_d)
+    return masked_median(jnp.abs(batch_d - depth), mask)
 
 
 @partial(jax.jit, static_argnames=("camera", "tspec", "rspec", "mspec",
@@ -303,7 +312,7 @@ def _track_step_body(params, grids, bound, est_buf, idx, gt_color, gt_depth,
             # pose cannot reject a normal extrapolation on noise
             keep = med_cs <= (tspec.init_select_margin
                               * jnp.maximum(med_pre, 0.01))
-            if __import__("os").environ.get("NICE_SLAM_TPU_DEBUG_INIT"):
+            if os.environ.get("NICE_SLAM_TPU_DEBUG_INIT"):
                 jax.debug.print(
                     "initsel idx={i} med_cs={a} med_pre={b} keep={k}",
                     i=idx, a=med_cs, b=med_pre, k=keep)

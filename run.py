@@ -54,6 +54,11 @@ def main():
             args.config = os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),
                 "configs", "Synthetic", "synthetic.yaml")
+        elif "Synthetic" not in args.config:
+            print(f"warning: --synthetic with explicit config "
+                  f"{args.config!r} trusts that config's camera/bounds; "
+                  f"the built-in synthetic scene expects "
+                  f"configs/Synthetic/synthetic.yaml")
         overrides = {
             "dataset": "synthetic",
             "synthetic": {"n_frames": args.synthetic},

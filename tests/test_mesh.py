@@ -207,6 +207,33 @@ class TestEvalRecon:
         m = calc_2d_metric((v, t, None), (v, t, None), pc_unseen=ring,
                            n_views=2, align=False)
         assert m["views_rejected"] > 0
+        # every view either found a clean sample or was excluded — a
+        # rejected view is never silently used
+        assert m["views_used"] + m["views_excluded"] == 2
+
+    def test_2d_metric_exhaustion_excludes_views(self):
+        """When no clean view exists, views are EXCLUDED (with a count in
+        the result), never silently used after the 200-resample cap —
+        the reference loops forever instead (eval_recon.py:157-174)."""
+        import os
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "tools"))
+        from eval_recon import calc_2d_metric
+
+        vol, origin, spacing = sphere_volume()
+        v, t = marching_tetrahedra(vol, 0.0, origin, spacing)
+        # dense unseen sphere fully surrounding the scene: the ~80-deg
+        # view cone always contains some of 2000 uniform points, so no
+        # clean view can ever be found
+        rng = np.random.RandomState(0)
+        p = rng.normal(size=(2000, 3))
+        shell = 2.5 * p / np.linalg.norm(p, axis=1, keepdims=True)
+        m = calc_2d_metric((v, t, None), (v, t, None), pc_unseen=shell,
+                           n_views=2, align=False)
+        assert m["views_excluded"] == 2
+        assert m["views_used"] == 0
+        assert np.isnan(m["depth_l1_cm"])
 
     def test_unseen_points_split(self):
         import os

@@ -32,6 +32,48 @@ def test_program_errors_are_not_transient():
     assert not is_transient(FakeJaxRuntimeError("NaN encountered in loss"))
 
 
+@pytest.mark.parametrize("msg", [
+    # a bare INTERNAL prefix is no longer a transient marker: XLA
+    # miscompiles / backend bugs carry it too, and retrying those burns
+    # minutes-long warmups before surfacing a deterministic failure
+    "INTERNAL: Generated function failed: CpuCallback error",
+    "INTERNAL: during context [hlo verifier]: unexpected shape",
+    "INTERNAL: RET_CHECK failure in tiling assignment",
+])
+def test_internal_miscompiles_are_not_transient(msg):
+    assert not is_transient(FakeJaxRuntimeError(msg))
+
+
+def test_deterministic_classes_win_over_markers():
+    # isinstance-based, not name-based: subclasses of deterministic error
+    # classes stay non-transient even when the message carries a marker
+    class ShapeBug(ValueError):
+        pass
+
+    assert not is_transient(ShapeBug("UNAVAILABLE: socket closed"))
+    import jax.errors
+    assert not is_transient(
+        jax.errors.ConcretizationTypeError.__new__(
+            jax.errors.ConcretizationTypeError))
+
+
+def test_retry_stats_recorded():
+    calls = {"n": 0}
+    stats = {}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 2:
+            raise FakeJaxRuntimeError("UNAVAILABLE: stream removed")
+        return "ok"
+
+    assert retry_transient(flaky, attempts=3, sleep_s=0.0,
+                           stats=stats) == "ok"
+    assert stats["attempts"] == 2
+    assert len(stats["transient_errors"]) == 1
+    assert "stream removed" in stats["transient_errors"][0]
+
+
 def test_retry_recovers_after_transient_failures():
     calls = {"n": 0}
 

@@ -5,9 +5,11 @@
 neighbours between 200k surface samples of the reconstructed and GT
 meshes, with optional ICP pre-alignment (reference eval_recon.py:24-117).
 
-2D: depth L1 over random interior views; meshes are depth-rendered by
-dense surface-point splatting with a device z-buffer (scatter-min) instead
-of the reference's Open3D offscreen rasterizer (eval_recon.py:131-210).
+2D: depth L1 over 1000 random interior views (500x500, f=300) rendered
+with the first-party C++ z-buffer triangle rasterizer
+(nice_slam_tpu/native/rasterize.cpp) in place of the reference's Open3D
+offscreen renderer (eval_recon.py:131-210); view sampling, unseen-view
+rejection, and full-buffer L1 are definitionally matched.
 """
 
 from __future__ import annotations
@@ -183,23 +185,37 @@ def calc_2d_metric(rec_mesh, gt_mesh, pc_unseen=None, n_views: int = 1000,
 
     extents, transform = oriented_bounds(gv)
     # vacant-area camera box: shrink the two long (floor-plan) axes to
-    # 0.7 and the short (height) axis to 0.3, raise 0.4 along height
+    # 0.7 and the short (height) axis to 0.3 (ref applies [0.3,0.7,0.7]
+    # to ascending-ordered extents; ours are descending, so reversed),
+    # then raise the box 0.4 in WORLD z with up=[0,0,-1] — exactly the
+    # reference's construction (src/tools/eval_recon.py:119-127,160-163)
     box = extents * np.array([0.7, 0.7, 0.3])
     transform = transform.copy()
-    transform[:3, 3] += transform[:3, 2] * 0.4
-    up = -transform[:3, 2]  # the reference's up=[0,0,-1] in its GT frame
+    transform[2, 3] += 0.4
+    up = np.array([0.0, 0.0, -1.0])
 
     errs = []
     rejected = 0
+    excluded = 0
     for _ in range(n_views):
+        clean = False
         for _attempt in range(200):
             local = (rng.rand(3) - 0.5) * box
             origin = transform[:3, :3] @ local + transform[:3, 3]
             target = rng.uniform(-10000, 10000, 3)
             c2w = viewmatrix(target - origin, up, origin)
             if not unseen_visible(pc_unseen, W, H, fx, fy, cx, cy, c2w):
+                clean = True
                 break
             rejected += 1
+        if not clean:
+            # the reference loops forever until a clean view appears
+            # (src/tools/eval_recon.py:157-174); in a heavily-unseen scene
+            # that can never terminate, so after 200 failed resamples we
+            # EXCLUDE the view (never silently use a rejected one) and
+            # report the exclusion count
+            excluded += 1
+            continue
         # convert the look-at (graphics, +z forward) pose to the internal
         # -z-forward convention used by the rasterizer
         c2w_int = c2w.copy()
@@ -208,8 +224,16 @@ def calc_2d_metric(rec_mesh, gt_mesh, pc_unseen=None, n_views: int = 1000,
         d_gt = render_depth(gv, gt_t, c2w_int, H, W, fx, fy, cx, cy)
         d_rec = render_depth(rv, rt, c2w_int, H, W, fx, fy, cx, cy)
         errs.append(np.abs(d_gt - d_rec).mean())
+    if excluded:
+        print(f"warning: {excluded}/{n_views} views excluded — no clean "
+              f"(unseen-free) view found in 200 resamples each",
+              file=sys.stderr)
+    if not errs:
+        return {"depth_l1_cm": float("nan"), "views_used": 0,
+                "views_rejected": rejected, "views_excluded": excluded}
     return {"depth_l1_cm": float(np.mean(errs) * 100),
-            "views_used": len(errs), "views_rejected": rejected}
+            "views_used": len(errs), "views_rejected": rejected,
+            "views_excluded": excluded}
 
 
 def main():
