@@ -61,13 +61,14 @@ BASELINE_PROVENANCE = {
 }
 
 
-def build_cfg(n_frames: int):
+def build_cfg(n_frames: int, sync: str = "strict"):
     from nice_slam_tpu.config import load_config
 
     # dataset is one frame longer than the measured range: the engine's
     # final-frame path (checkpoint save + color refine) must not fire
     # inside the measured segment — it fetches the whole map state
     return load_config(overrides={
+        "sync_method": sync,
         "dataset": "synthetic",
         "synthetic": {"n_frames": n_frames + 1},
         "cam": {"H": 680, "W": 1200, "fx": 600.0, "fy": 600.0,
@@ -116,9 +117,22 @@ def run_groups(eng, groups, n_frames: int, fused: bool):
     fused=True uses ONE dispatch per group (mapping.track_map_group) when
     the engine allows it (fuse_track_map on, no device mesh) — matching
     engine._run_grouped's gating; otherwise separate track-then-map
-    dispatches."""
+    dispatches.  loose/free (eng.map_lag > 0) route through the engine's
+    own lagged group step (engine._grouped_lagged_step) so the benched
+    code path IS the engine's."""
     import jax
     import numpy as np
+
+    if eng.map_lag > 0:
+        prev = getattr(eng, "_bench_prev_group", None)
+        for (lo, hi, colors, depths, gts) in groups:
+            eng.gt_c2w[lo:hi + 1] = gts
+            eng._grouped_lagged_step(lo, hi, colors, depths, gts,
+                                     n_frames, prev)
+            prev = (lo, colors, depths, gts)
+            eng.frames_done = hi + 1
+        eng._bench_prev_group = prev
+        return
 
     for (lo, hi, colors, depths, gts) in groups:
         eng.gt_c2w[lo:hi + 1] = gts
@@ -149,7 +163,7 @@ def run_attempt(args):
 
     n_warm = 26    # through the first BA-active mapping event (>4 kfs)
     n_frames = n_warm + args.frames
-    cfg = build_cfg(n_frames)
+    cfg = build_cfg(n_frames, args.sync)
     eng = SlamEngine(cfg, output="/tmp/bench_out")
     s = eng.specs
 
@@ -242,6 +256,10 @@ def main():
                          "profile run)")
     ap.add_argument("--profile", type=str, default=None, metavar="LOGDIR",
                     help="capture an XLA trace of the measured segment")
+    ap.add_argument("--sync", type=str, default="strict",
+                    choices=("strict", "loose", "free"),
+                    help="sync mode to bench (loose/free run the lagged "
+                         "grouped path, engine._grouped_lagged_step)")
     ap.add_argument("--attempts", type=int, default=3,
                     help="watchdog retries (hangs + transient failures)")
     ap.add_argument("--attempt-timeout", type=int, default=1500,
@@ -258,7 +276,7 @@ def main():
     import subprocess
 
     cmd = [sys.executable, os.path.abspath(__file__), "--child",
-           "--frames", str(args.frames)]
+           "--frames", str(args.frames), "--sync", args.sync]
     if args.profile:
         cmd += ["--profile", args.profile]
     for attempt in range(1, args.attempts + 1):

@@ -704,7 +704,7 @@ class SlamEngine:
         start = self.frames_done if start is None else start
         if start >= n:
             return self
-        grouped = (self.grouped_tracking and self.map_lag == 0
+        grouped = (self.grouped_tracking
                    and self.vis_hook is None and not self.gt_camera
                    and self.every_frame > 1)
         if grouped:
@@ -787,10 +787,23 @@ class SlamEngine:
         return min(((cur - 1) // every_frame + 1) * every_frame, n - 1)
 
     def _run_grouped(self, n: int, progress: bool = False, start: int = 0):
-        """Strict-schedule fast path: every inter-mapping frame group is
-        tracked in ONE dispatch (tracking.track_frames_group) and its
-        uploaded frame stack is reused by the mapping event in-jit — one
-        device barrier per group instead of per frame."""
+        """Grouped fast path: every inter-mapping frame group is tracked
+        in ONE dispatch (tracking.track_frames_group) and its uploaded
+        frame stack is reused by the mapping event in-jit — one device
+        barrier per group instead of per frame.
+
+        strict (map_lag 0): the group's mapping event rides the SAME
+        dispatch as its tracking scan (mapping.track_map_group).
+
+        loose/free (map_lag L > 0): the lag is deterministic, so the
+        group splits at the known event point — track [cur, cur-1+L]
+        against the stale map, run the mapping event for frame cur-1
+        (the previous group boundary, its frame taken from the previous
+        group's retained stack), then track the rest — same three-step
+        semantics as the per-frame loop (run()), but 2-3 dispatches and
+        ONE barrier per group instead of one of each per frame.  The
+        per-frame loop remains the reference implementation for these
+        modes (TestSyncModeSchedules pins the interleavings)."""
         bar = None
         if progress:
             try:
@@ -827,6 +840,7 @@ class SlamEngine:
             if bar:
                 bar.update(1)
 
+        prev = None  # previous group's stack, retained for lagged events
         try:
             for gi, (cur, g_end) in enumerate(bounds):
                 if fut is not None:
@@ -838,6 +852,15 @@ class SlamEngine:
                     colors, depths, gts = self._load_frames_stacked(
                         cur, g_end)
                 self.gt_c2w[cur:g_end + 1] = gts
+
+                if self.map_lag > 0:
+                    self._grouped_lagged_step(cur, g_end, colors, depths,
+                                              gts, n, prev)
+                    prev = (cur, colors, depths, gts)
+                    self.frames_done = g_end + 1
+                    if bar:
+                        bar.update(g_end + 1 - cur)
+                    continue
 
                 maps_here = g_end == n - 1 or g_end % self.every_frame == 0
                 if maps_here and self.mesh is None and self.fuse_track_map:
@@ -863,6 +886,54 @@ class SlamEngine:
         if bar:
             bar.close()
         return self
+
+    def _grouped_lagged_step(self, cur: int, g_end: int, colors, depths,
+                             gts, n: int, prev):
+        """One loose/free-mode frame group.  Exactly the per-frame loop's
+        schedule (run(): track idx; at idx == m+L map frame m = the
+        previous every_frame boundary; at idx == n-1 map the final frame
+        instead), but the tracking runs as at most two grouped dispatches
+        split at the deterministic event point, with ONE end-of-group
+        barrier — on remote-attached backends the per-frame loop's
+        dispatch+barrier per frame costs more than the optimization
+        itself (see bench.py --sync)."""
+        L = self.map_lag
+        m = cur - 1                      # frame the lagged event maps
+        idx_e = m + L                    # tracker index where it fires
+        final = g_end == n - 1
+        # the final frame's own event wins over a lagged event at n-1
+        # (run(): `if idx == n-1` precedes the midx branch)
+        has_event = (m > 0 and cur <= idx_e <= g_end
+                     and not (final and idx_e == n - 1))
+        t0 = time.perf_counter()
+        if has_event:
+            lo = idx_e - cur             # split point within the stack
+            last = self._track_group(cur, idx_e, colors[:lo + 1],
+                                     depths[:lo + 1])
+            t_pre = time.perf_counter() - t0
+            self.timings["track"] += t_pre
+            if prev is not None:
+                p_cur, p_colors, p_depths, p_gts = prev
+                self.mapping_event(m, p_colors, p_depths, p_gts[m - p_cur],
+                                   frame_sel=m - p_cur)
+            else:
+                # resume landed mid-schedule and the lagged frame's stack
+                # is gone — fall back to the freshest tracked frame (same
+                # fallback as run()'s _frame_cache miss)
+                self.mapping_event(m, colors, depths, gts[lo],
+                                   frame_sel=lo)
+            t0 = time.perf_counter()
+            if idx_e < g_end:
+                last = self._track_group(idx_e + 1, g_end,
+                                         colors[lo + 1:],
+                                         depths[lo + 1:])
+        else:
+            last = self._track_group(cur, g_end, colors, depths)
+        np.asarray(jax.device_get(last))  # end-of-group barrier
+        self.timings["track"] += time.perf_counter() - t0
+        if final:
+            self.mapping_event(g_end, colors, depths, gts[-1],
+                               frame_sel=g_end - cur)
 
     def save(self, path: str):
         # barrier before fetching: params/grids/store are donation-aliased

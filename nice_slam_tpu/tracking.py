@@ -143,15 +143,13 @@ def tracking_depth_median(cam, params, grids, bound, gt_depth, key,
     depth, _, _, _ = render_rays(params, mspec, grids, bound,
                                  rays_o, rays_d, krender, rspec,
                                  stage="color", gt_depth=batch_d)
-    mask = batch_d > 0
-    if tspec.nice:
-        # same ray-AABB inside filter as tracking_loss: rays whose GT
-        # depth exits the map bound would contribute clamped/garbage
-        # rendered depths to the median (both candidates share the pixel
-        # sample, so the filter is fair)
-        t_exit = ray_aabb_far(rays_o, rays_d, bound)
-        mask = mask & (t_exit >= batch_d)
-    return masked_median(jnp.abs(batch_d - depth), mask)
+    # NOTE: deliberately NO ray-AABB inside filter here (unlike
+    # tracking_loss).  The filter is pose-DEPENDENT — each candidate
+    # would mask a different pixel subset, biasing the comparison toward
+    # whichever pose pushes more rays out of bound.  Measured (round 4,
+    # TPU, 120-frame synthetic, seed 0): with the filter ATE degrades
+    # 0.08 -> 0.35 m.  batch_d > 0 is shared by both candidates.
+    return masked_median(jnp.abs(batch_d - depth), batch_d > 0)
 
 
 @partial(jax.jit, static_argnames=("camera", "tspec", "rspec", "mspec",

@@ -328,6 +328,72 @@ class TestSyncModeSchedules:
         assert (8, 4) in free
 
 
+class TestGroupedLaggedSchedules:
+    """loose/free mode on the grouped fast path
+    (engine._grouped_lagged_step): the mapping-event sequence must match
+    the per-frame reference loop (run()) exactly, with the event firing
+    mid-group at the deterministic lag point."""
+
+    def _events(self, sync_method, grouped, n_frames=13, every=5):
+        cfg = load_config(overrides={
+            **TEST_CFG, "sync_method": sync_method,
+            "synthetic": {"n_frames": n_frames},
+            "mapping": {**TEST_CFG["mapping"], "every_frame": every},
+            "tpu": {"seed": 0, "grouped_tracking": grouped},
+            "tracking": {**TEST_CFG["tracking"], "iters": 2, "pixels": 60},
+        })
+        eng = SlamEngine(cfg, output="/tmp/nice_slam_tpu_sched2")
+        events = []
+        orig_tg = eng._track_group
+
+        def tg(cur, g_end, *a, **k):
+            events.append(("track", cur, g_end))
+            return orig_tg(cur, g_end, *a, **k)
+
+        eng._track_group = tg
+        eng.mapping_event = lambda idx, *a, **k: events.append(("map", idx))
+        eng.run()
+        return events
+
+    def test_grouped_matches_per_frame_map_sequence(self):
+        for mode in ("loose", "free"):
+            grouped = [e[1] for e in self._events(mode, True)
+                       if e[0] == "map"]
+            per_frame = [e[1] for e in self._events(mode, False)
+                         if e[0] == "map"]
+            assert grouped == per_frame, (mode, grouped, per_frame)
+
+    def test_loose_event_fires_mid_group(self):
+        # every=5, lag=2: the event for boundary frame 5 fires after
+        # tracking frame 7, splitting group [6,10] at the lag point; the
+        # final frame maps itself (n-1=12)
+        ev = self._events("loose", True)
+        assert ev == [("map", 0), ("track", 1, 5), ("track", 6, 7),
+                      ("map", 5), ("track", 8, 10), ("track", 11, 12),
+                      ("map", 12)], ev
+
+    def test_free_event_fires_at_group_end(self):
+        # every=5, lag=5: the event for frame 5 fires only after the whole
+        # next group is tracked; frame 10's event (due at tracker 15)
+        # never fires — the final event wins (same as the per-frame loop)
+        ev = self._events("free", True)
+        assert ev == [("map", 0), ("track", 1, 5), ("track", 6, 10),
+                      ("map", 5), ("track", 11, 12), ("map", 12)], ev
+
+    def test_loose_grouped_e2e_converges(self):
+        cfg = load_config(overrides={
+            **TEST_CFG, "sync_method": "loose",
+            "synthetic": {"n_frames": 13},
+        })
+        eng = SlamEngine(cfg, output="/tmp/nice_slam_tpu_loose_e2e")
+        eng.run(progress=False)
+        assert eng.frames_done == 13
+        rmse = eng.ate()["rmse"]
+        assert np.isfinite(rmse)
+        # staleness costs accuracy vs strict, but the run must stay locked
+        assert rmse < 0.35, rmse
+
+
 class TestRobustIngestion:
     def test_nonfinite_first_pose_does_not_poison_trajectory(self, capsys):
         """ScanNet pose files can contain inf rows; the estimated
