@@ -642,6 +642,12 @@ class SlamEngine:
             self._map_vis_hook(self, idx, color, depth, frame_sel)
 
         if (idx % self.ckpt_freq == 0 and idx > 0) or final:
+            # the grouped loops bump frames_done only after the whole
+            # group returns, but by event time every frame up to and
+            # including `idx` is tracked — record that, or the final
+            # checkpoint under-reports progress (stale-by-one-group idx
+            # truncates replay and makes resume re-track done frames)
+            self.frames_done = max(self.frames_done, idx + 1)
             self.save(os.path.join(self.output, "ckpts",
                                    f"{idx:05d}.npz"))
         if self.mesher_hook is not None and (

@@ -3,8 +3,10 @@
 visualizer.py + src/tools/viz.py, which need an Open3D GUI).
 
 Renders a frame sequence (png, optionally mp4 via matplotlib writers) of
-the estimated vs GT camera trajectory and mesh silhouette from a run's
-checkpoint."""
+the estimated vs GT camera trajectory, camera frusta, keyframe graph and
+mesh silhouette from a run's checkpoint — the offline analogues of the
+reference's live Open3D overlays (src/tools/viz.py:45-153: per-frame
+est/GT frusta, trajectory point clouds, mesh replay)."""
 
 from __future__ import annotations
 
@@ -15,6 +17,25 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+
+def frustum_segments(c2w: np.ndarray, scale: float = 0.25,
+                     aspect: float = 4.0 / 3.0):
+    """Wireframe camera frustum segments (apex + image-plane rectangle)
+    in world coordinates; -z forward convention.  Fixed-size visual aid,
+    like the reference's frustum LineSet (src/tools/viz.py:45-83)."""
+    w, h, z = scale * aspect / 2.0, scale / 2.0, -scale
+    corners = np.array([[w, h, z], [-w, h, z], [-w, -h, z], [w, -h, z]])
+    cw = corners @ c2w[:3, :3].T + c2w[:3, 3]
+    apex = c2w[:3, 3]
+    segs = [(apex, cw[i]) for i in range(4)]
+    segs += [(cw[i], cw[(i + 1) % 4]) for i in range(4)]
+    return segs
+
+
+def draw_frustum(ax, c2w, color, scale=0.25):
+    for a, b in frustum_segments(c2w, scale):
+        ax.plot(*np.stack([a, b]).T, color=color, linewidth=0.8)
 
 
 def main():
@@ -41,6 +62,8 @@ def main():
         est = z["est_c2w"]
         gt = z["gt_c2w"]
         n = int(z["idx"]) or len(est)
+        kf_ids = (z["extra/kf_frame_ids"].astype(int)
+                  if "extra/kf_frame_ids" in z.files else np.zeros(0, int))
 
     mesh_path = os.path.join(args.output_dir, "mesh", "final_mesh.ply")
     mesh_pts = None
@@ -63,7 +86,20 @@ def main():
         ok = np.isfinite(gt[:m, :3, 3]).all(-1)
         ax.plot(*gt[:m][ok][:, :3, 3].T, color="black", label="GT")
         ax.plot(*est[:m, :3, 3].T, color="tab:red", label="estimated")
-        ax.scatter(*est[m - 1, :3, 3], color="tab:red", s=40)
+        # current camera frusta (est red, GT gray), reference viz.py:45-83
+        draw_frustum(ax, est[m - 1], "tab:red")
+        if np.isfinite(gt[m - 1]).all():
+            draw_frustum(ax, gt[m - 1], "gray")
+        # keyframe graph: inserted keyframes + their links to the current
+        # camera (the BA window connectivity)
+        kfs = kf_ids[kf_ids < m]
+        if len(kfs):
+            ax.scatter(*est[kfs][:, :3, 3].T, color="tab:green", s=25,
+                       marker="^", label="keyframes")
+            for k_id in kfs:
+                seg = np.stack([est[k_id, :3, 3], est[m - 1, :3, 3]])
+                ax.plot(*seg.T, color="tab:green", linewidth=0.4,
+                        alpha=0.35)
         ax.legend()
         ax.set_title(f"frame {m - 1}/{n - 1}")
 
