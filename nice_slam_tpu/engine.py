@@ -123,6 +123,10 @@ class SlamEngine:
             shape = cfg["tpu"].get("mesh_shape")
             self.mesh = make_mesh(shape[0] if shape else None)
         self._frame_cache = {}
+        # multi-process runs (parallel/multihost.py): every process holds
+        # bit-identical state, so only one persists outputs
+        self.is_primary = (jax.process_count() == 1
+                           or jax.process_index() == 0)
 
         key = jax.random.PRNGKey(cfg["tpu"]["seed"])
         key, kstate = jax.random.split(key)
@@ -648,9 +652,10 @@ class SlamEngine:
             # checkpoint under-reports progress (stale-by-one-group idx
             # truncates replay and makes resume re-track done frames)
             self.frames_done = max(self.frames_done, idx + 1)
-            self.save(os.path.join(self.output, "ckpts",
-                                   f"{idx:05d}.npz"))
-        if self.mesher_hook is not None and (
+            if self.is_primary:
+                self.save(os.path.join(self.output, "ckpts",
+                                       f"{idx:05d}.npz"))
+        if self.mesher_hook is not None and self.is_primary and (
                 (idx % self.mesh_freq == 0 and idx > 0) or final):
             self.mesher_hook(self, idx, final)
 

@@ -50,20 +50,21 @@ def main():
     if args.synthetic is not None:
         # the synthetic family yaml is the single source of the scene's
         # camera/bounds/budgets; --synthetic only sets the frame count
-        if args.config is None:
+        explicit_config = args.config is not None
+        if not explicit_config:
             args.config = os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),
                 "configs", "Synthetic", "synthetic.yaml")
+            # an explicit config's own data.output wins; the implicit
+            # default gets a stable output dir
+            overrides = {"data": {"output": "output/synthetic"}}
         elif "Synthetic" not in args.config:
             print(f"warning: --synthetic with explicit config "
                   f"{args.config!r} trusts that config's camera/bounds; "
                   f"the built-in synthetic scene expects "
                   f"configs/Synthetic/synthetic.yaml")
-        overrides = {
-            "dataset": "synthetic",
-            "synthetic": {"n_frames": args.synthetic},
-            "data": {"output": "output/synthetic"},
-        }
+        overrides["dataset"] = "synthetic"
+        overrides["synthetic"] = {"n_frames": args.synthetic}
     if args.seed is not None:
         overrides.setdefault("tpu", {})["seed"] = args.seed
     if args.input_folder:
@@ -72,6 +73,14 @@ def main():
         overrides.setdefault("data", {})["output"] = args.output
 
     cfg = load_config(args.config, nice=args.nice, overrides=overrides)
+
+    # multi-process launch (cfg tpu.multihost / NICE_SLAM_TPU_* env):
+    # must initialize BEFORE the first jax backend use so jax.devices()
+    # is the global mesh (see parallel/multihost.py)
+    from nice_slam_tpu.parallel.multihost import initialize_from_cfg
+    proc_id = initialize_from_cfg(cfg)
+    if proc_id is not None:
+        print(f"multihost: process {proc_id} up")
 
     mesher_hook = None
     if not args.no_mesh:
@@ -123,9 +132,10 @@ def main():
                       "ate_mean_m": stats["mean"],
                       "frames": eng.frames_done,
                       "timings_s": eng.timings}, indent=2))
-    os.makedirs(eng.output, exist_ok=True)
-    with open(os.path.join(eng.output, "ate.json"), "w") as f:
-        json.dump(stats, f, indent=2)
+    if eng.is_primary:
+        os.makedirs(eng.output, exist_ok=True)
+        with open(os.path.join(eng.output, "ate.json"), "w") as f:
+            json.dump(stats, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -171,6 +171,10 @@ def run_ours(scene_yaml: str, log_path: str, timeout: int,
     env = dict(os.environ)
     if platform:
         env["JAX_PLATFORMS"] = platform
+        if platform == "cpu":
+            # the axon sitecustomize grabs the TPU regardless of
+            # JAX_PLATFORMS — bypass it (CLAUDE.md)
+            env["PYTHONPATH"] = ""
         env.setdefault("JAX_COMPILATION_CACHE_DIR",
                        "/tmp/jax_cache_cpu" if platform == "cpu"
                        else "/tmp/jax_cache")
