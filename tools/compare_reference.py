@@ -55,6 +55,13 @@ BUDGETS = {
         "mapping_iters": 10, "mapping_pixels": 300, "iters_first": 30,
         "every_frame": 5, "keyframe_every": 10, "window": 3,
     },
+    "high": {  # closer to the reference's imap defaults (50x5000 track,
+        # 300x5000 map) — for sequences where `default` diverges
+        "tracking_iters": 40, "tracking_pixels": 1500,
+        "tracking_lr": 0.001,
+        "mapping_iters": 60, "mapping_pixels": 2000, "iters_first": 300,
+        "every_frame": 5, "keyframe_every": 10, "window": 5,
+    },
 }
 
 SCALE = 0.1  # imap world scale (ref configs/imap.yaml:3; ours mirrors it)
@@ -309,7 +316,9 @@ def main():
                                               f"ours_{seq}.log"),
                             args.timeout, args.ours_platform)
             ate = ate_from_ours_ckpt(os.path.join(out, "ckpts"))
-            results[seq]["ours"] = {"ate": ate, "wall_s": wall}
+            results[seq]["ours"] = {"ate": ate, "wall_s": wall,
+                                    "platform": args.ours_platform
+                                    or "default"}
             print(f"[cmp] ours {seq}: rmse {ate['rmse']:.4f} m "
                   f"({wall:.0f}s)")
             with open(results_path, "w") as f:
