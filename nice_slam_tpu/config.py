@@ -69,6 +69,11 @@ DEFAULTS: Dict[str, Any] = {
         "const_speed_assumption": True,
         "init_select": True,
         "init_select_margin": 3.0,
+        # post-scan Gauss-Newton pose polish (0 = reference parity;
+        # see TrackSpec.gn_iters)
+        "pose_GN_iters": 0,
+        "pose_GN_pixels": 1000,
+        "pose_GN_damping": 1.0e-3,
         "no_vis_on_first_frame": True,
         "gt_camera": False,
         "lr": 0.001,
@@ -278,7 +283,10 @@ def specs_from_config(cfg: dict) -> SlamSpecs:
         use_color=t["use_color_in_tracking"],
         const_speed=t["const_speed_assumption"],
         init_select=t["init_select"],
-        init_select_margin=t["init_select_margin"], nice=nice,
+        init_select_margin=t["init_select_margin"],
+        gn_iters=t.get("pose_GN_iters", 0),
+        gn_pixels=t.get("pose_GN_pixels", 1000),
+        gn_damping=t.get("pose_GN_damping", 1e-3), nice=nice,
     )
     m = cfg["mapping"]
     stage_lr = tuple(sorted(

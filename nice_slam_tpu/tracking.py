@@ -65,6 +65,15 @@ class TrackSpec:
     # Costs two forward renders per frame (~7% of tracking).
     init_select: bool = True
     init_select_margin: float = 3.0
+    # Gauss-Newton pose polish after the Adam scan (beyond-reference;
+    # reuses parallel/schur_ba.py with a one-frame window).  The Adam
+    # scan's per-frame pose noise is set by its stochastic 200-pixel
+    # loss samples; a couple of guarded GN iterations on a LARGE ray
+    # batch converge quadratically near the optimum and cut that noise
+    # at ~2x the (small) tracking cost.  0 = reference-parity off.
+    gn_iters: int = 0
+    gn_pixels: int = 1000
+    gn_damping: float = 1e-3
     nice: bool = True
 
 
@@ -321,6 +330,18 @@ def _track_step_body(params, grids, bound, est_buf, idx, gt_color, gt_depth,
     out = track_frame(params, grids, bound, cam0, gt_color, gt_depth, key,
                       camera, tspec, rspec, mspec, return_cams=return_cams)
     best_cam, first_loss, last_loss, best_loss = out[:4]
+    if tspec.gn_iters > 0:
+        from nice_slam_tpu.parallel.schur_ba import schur_pose_refine
+
+        gn_rspec = dataclasses.replace(rspec, train_decoders=False)
+        window = {"depths": gt_depth[None],
+                  "valid": jnp.ones((1,), bool)}
+        cams = schur_pose_refine(
+            params, grids, bound, window, best_cam[None],
+            jnp.ones((1,)), jax.random.fold_in(key, 0x61), camera,
+            gn_rspec, mspec, tspec.gn_iters, tspec.gn_pixels,
+            tspec.gn_damping)
+        best_cam = cams[0]
     c2w = to_homogeneous(cam_from_tensor(best_cam))
     est_buf = est_buf.at[idx].set(c2w)
     res = (est_buf, first_loss, last_loss, best_loss)
