@@ -140,6 +140,55 @@ class TestGaussNewton:
                                 specs.model, 1, 64, 1e-3)
         assert bool(jnp.allclose(out, cams0))
 
+    def test_tracking_gn_polish_recovers_perturbed_pose(self):
+        """The tracking-side GN polish (TrackSpec.gn_iters,
+        tracking._track_step_body) must pull a perturbed pose closer to
+        the optimum on a trained map — the per-frame noise-floor fix."""
+        import dataclasses as dc
+
+        from nice_slam_tpu.ops import cam_from_tensor, to_homogeneous
+        from nice_slam_tpu.tracking import track_frame_step
+
+        from nice_slam_tpu.keyframes import build_window
+
+        specs, state, _, _, cam, rspec = _setup()
+        # structured depth (a plane gives no lateral/rotational pose
+        # signal): smooth bumps make all 6 DoF observable
+        jj, ii = jnp.meshgrid(jnp.arange(cam.H), jnp.arange(cam.W),
+                              indexing="ij")
+        depth = (1.0 + 0.25 * jnp.sin(2 * jnp.pi * ii / cam.W)
+                 + 0.2 * jnp.cos(2 * jnp.pi * jj / cam.H)).astype(
+            jnp.float32)
+        color = jnp.full((cam.H, cam.W, 3), 0.5)
+        eye = jnp.eye(4)
+        store = make_store(4, cam.H, cam.W)
+        store = add_keyframe(store, color, depth, eye, eye, 0)
+        window = build_window(store, jnp.zeros((1,), jnp.int32),
+                              jnp.ones((1,), bool), color, depth, eye)
+        cams0 = tensor_from_cam(window["c2ws"][:, :3, :])
+        params, grids = _trained_map(specs, state, window, cams0, cam,
+                                     iters=200)
+        true7 = cams0[2]
+        # previous pose = perturbed truth; one Adam iter so the polish
+        # does the heavy lifting
+        pert7 = true7.at[4:].add(jnp.array([0.03, -0.02, 0.02]))
+        pre = to_homogeneous(cam_from_tensor(pert7))
+        est = jnp.tile(pre[None], (3, 1, 1))
+
+        def run(gn_iters):
+            ts = dc.replace(specs.track, iters=1, pixels=64,
+                            const_speed=False, gn_iters=gn_iters,
+                            gn_pixels=256)
+            buf, *_ = track_frame_step(
+                params, grids, state.bound, est + 0.0, 2, color, depth,
+                jax.random.PRNGKey(11), 0, cam, ts, rspec, specs.model)
+            return buf[2]
+
+        true_c2w = to_homogeneous(cam_from_tensor(true7))
+        err_off = float(jnp.linalg.norm(run(0)[:3, 3] - true_c2w[:3, 3]))
+        err_gn = float(jnp.linalg.norm(run(3)[:3, 3] - true_c2w[:3, 3]))
+        assert err_gn < err_off * 0.7, (err_off, err_gn)
+
     def test_psum_reduced_system_matches_concat(self):
         """The sharded design reduces per-device (H, b) by psum; summing
         systems from two disjoint ray sets must equal the GN system of
