@@ -913,8 +913,11 @@ class SlamEngine:
         idx_e = m + L                    # tracker index where it fires
         final = g_end == n - 1
         # the final frame's own event wins over a lagged event at n-1
-        # (run(): `if idx == n-1` precedes the midx branch)
-        has_event = (m > 0 and cur <= idx_e <= g_end
+        # (run(): `if idx == n-1` precedes the midx branch).  The
+        # boundary check matters after a mid-group resume: cur-1 is only
+        # a mapping frame when it lies on the every_frame cadence.
+        has_event = (m > 0 and m % self.every_frame == 0
+                     and cur <= idx_e <= g_end
                      and not (final and idx_e == n - 1))
         t0 = time.perf_counter()
         if has_event:
