@@ -64,11 +64,14 @@ BUDGETS = {
     },
 }
 
-SCALE = 0.1  # imap world scale (ref configs/imap.yaml:3; ours mirrors it)
+# world scale by mode: imap 0.1 (ref configs/imap.yaml:3), nice 1.0
+MODE_SCALE = {"imap": 0.1, "nice": 1.0}
 
 
-def write_ref_yaml(path: str, b: dict, input_folder: str, output: str):
-    """Scene yaml for the reference (merged over its configs/imap.yaml)."""
+def write_ref_yaml(path: str, b: dict, input_folder: str, output: str,
+                   mode: str = "imap", pretrained: tuple = None):
+    """Scene yaml for the reference (merged over its configs/imap.yaml or
+    configs/nice_slam.yaml — selected by the driver's --imap/--nice)."""
     import yaml
 
     cfg = {
@@ -97,13 +100,22 @@ def write_ref_yaml(path: str, b: dict, input_folder: str, output: str):
         "data": {"input_folder": input_folder, "output": output},
         "meshing": {"eval_rec": False},
     }
+    if mode == "nice":
+        # NICE mode: ConvONet-format decoders exported from this repo's
+        # pretrained npz (tools/refcmp/export_decoders.py) — the
+        # reference's own blobs are absent from the mount
+        cfg["pretrained_decoders"] = {"coarse": pretrained[0],
+                                      "middle_fine": pretrained[1]}
+        cfg["grid_len"] = {"coarse": 1.0, "middle": 0.32, "fine": 0.16,
+                           "color": 0.16, "bound_divisible": 0.32}
     with open(path, "w") as f:
         yaml.safe_dump(cfg, f)
 
 
-def write_ours_yaml(path: str, b: dict, input_folder: str, output: str):
-    """Scene yaml for this repo (merged over config.IMAP_OVERRIDES, which
-    mirrors the reference's configs/imap.yaml)."""
+def write_ours_yaml(path: str, b: dict, input_folder: str, output: str,
+                    mode: str = "imap"):
+    """Scene yaml for this repo (merged over config.IMAP_OVERRIDES /
+    the NICE defaults, selected by run.py --imap/--nice)."""
     import yaml
 
     cfg = {
@@ -127,11 +139,14 @@ def write_ours_yaml(path: str, b: dict, input_folder: str, output: str):
         "cam": dict(CAM),
         "data": {"input_folder": input_folder, "output": output},
     }
+    if mode == "nice":
+        cfg["grid_len"] = {"coarse": 1.0, "middle": 0.32, "fine": 0.16,
+                           "color": 0.16}
     with open(path, "w") as f:
         yaml.safe_dump(cfg, f)
 
 
-def ate_from_ref_ckpt(ckpt_dir: str) -> dict:
+def ate_from_ref_ckpt(ckpt_dir: str, scale: float) -> dict:
     """Grade the reference's own checkpoint (src/utils/Logger.py:21-32)
     with this repo's ATE oracle; translations unscaled to meters."""
     import torch
@@ -143,12 +158,12 @@ def ate_from_ref_ckpt(ckpt_dir: str) -> dict:
                     weights_only=False)
     est = ck["estimate_c2w_list"].numpy().copy()
     gt = ck["gt_c2w_list"].numpy().copy()
-    est[:, :3, 3] /= SCALE
-    gt[:, :3, 3] /= SCALE
+    est[:, :3, 3] /= scale
+    gt[:, :3, 3] /= scale
     return ate_stats(gt, est)
 
 
-def ate_from_ours_ckpt(ckpt_dir: str) -> dict:
+def ate_from_ours_ckpt(ckpt_dir: str, scale: float) -> dict:
     """Grade this repo's checkpoint with the same oracle, same units."""
     from nice_slam_tpu.utils.checkpoint import load_checkpoint
     from nice_slam_tpu.utils.trajectory import ate_stats
@@ -157,24 +172,27 @@ def ate_from_ours_ckpt(ckpt_dir: str) -> dict:
     ck = load_checkpoint(os.path.join(ckpt_dir, cks[-1]))
     est = np.asarray(ck["est_c2w"]).copy()
     gt = np.asarray(ck["gt_c2w"]).copy()
-    est[:, :3, 3] /= SCALE
-    gt[:, :3, 3] /= SCALE
+    est[:, :3, 3] /= scale
+    gt[:, :3, 3] /= scale
     return ate_stats(gt, est)
 
 
-def run_reference(scene_yaml: str, log_path: str, timeout: int) -> float:
+def run_reference(scene_yaml: str, log_path: str, timeout: int,
+                  mode: str = "imap") -> float:
     t0 = time.time()
     with open(log_path, "w") as log:
         subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "refcmp",
-                                          "ref_driver.py"), scene_yaml],
+                                          "ref_driver.py"), scene_yaml,
+             "--nice" if mode == "nice" else "--imap"],
             cwd=REF, stdout=log, stderr=subprocess.STDOUT,
             timeout=timeout, check=True)
     return time.time() - t0
 
 
 def run_ours(scene_yaml: str, log_path: str, timeout: int,
-             platform: str | None, seed: int | None = None) -> float:
+             platform: str | None, seed: int | None = None,
+             mode: str = "imap") -> float:
     env = dict(os.environ)
     if platform:
         env["JAX_PLATFORMS"] = platform
@@ -186,7 +204,7 @@ def run_ours(scene_yaml: str, log_path: str, timeout: int,
                        "/tmp/jax_cache_cpu" if platform == "cpu"
                        else "/tmp/jax_cache")
     cmd = [sys.executable, os.path.join(REPO, "run.py"), scene_yaml,
-           "--imap", "--no-mesh"]
+           "--nice" if mode == "nice" else "--imap", "--no-mesh"]
     if seed is not None:
         cmd += ["--seed", str(seed)]
     t0 = time.time()
@@ -198,15 +216,19 @@ def run_ours(scene_yaml: str, log_path: str, timeout: int,
 
 
 def write_quality_md(results: dict, budget_name: str, frames: int,
-                     out_path: str):
+                     out_path: str, mode: str = "imap"):
     b = BUDGETS[budget_name]
+    mode_label = ("NICE mode (hierarchical grids; the reference runs "
+                  "with decoders exported from this repo's pretrained "
+                  "npz — tools/refcmp/export_decoders.py)"
+                  if mode == "nice" else "iMAP* mode")
     lines = [
         "# QUALITY — head-to-head vs the reference implementation",
         "",
         "Both systems ran on IDENTICAL data (the synthetic scene exported "
         "in Replica",
-        "on-disk layout — tools/refcmp/export.py) at IDENTICAL budgets in "
-        "iMAP* mode,",
+        f"on-disk layout — tools/refcmp/export.py) at IDENTICAL budgets "
+        f"in {mode_label},",
         "and both trajectories are graded by the SAME oracle "
         "(nice_slam_tpu/utils/",
         "trajectory.py, Horn SVD — the reference's eval_ate.py:44-78 "
@@ -218,14 +240,16 @@ def write_quality_md(results: dict, budget_name: str, frames: int,
         "— import shims + a CPU-safe re-bind of quad2rotation + meshing "
         "disabled; none",
         "changes the math).  Reproduce: `python tools/compare_reference.py"
-        f" --frames {frames} --budget {budget_name}`.",
+        f" --frames {frames} --budget {budget_name} --mode {mode}`.",
         "",
         f"Budget (both sides): tracking {b['tracking_iters']} iters x "
         f"{b['tracking_pixels']} rays (lr {b['tracking_lr']}), mapping "
         f"{b['mapping_iters']} iters x {b['mapping_pixels']} rays every "
         f"{b['every_frame']} frames (first frame {b['iters_first']}), "
         f"keyframe every {b['keyframe_every']}, window {b['window']}, "
-        f"N_samples 32 + N_importance 12, {frames} frames.",
+        + ("N_samples 32 + N_surface 16"
+           if mode == "nice" else "N_samples 32 + N_importance 12")
+        + f", {frames} frames.",
         "",
         "| sequence | system | ATE RMSE (m) | mean (m) | median (m) | "
         "max (m) | wall (s) |",
@@ -263,6 +287,8 @@ def main():
     ap.add_argument("--seqs", type=str, default="seq_a,seq_b")
     ap.add_argument("--budget", type=str, default="default",
                     choices=sorted(BUDGETS))
+    ap.add_argument("--mode", type=str, default="imap",
+                    choices=("imap", "nice"))
     ap.add_argument("--workdir", type=str, default="/tmp/refcmp_run")
     ap.add_argument("--skip-ref", action="store_true")
     ap.add_argument("--skip-ours", action="store_true")
@@ -277,6 +303,13 @@ def main():
 
     b = BUDGETS[args.budget]
     os.makedirs(args.workdir, exist_ok=True)
+    scale = MODE_SCALE[args.mode]
+    pretrained = None
+    if args.mode == "nice":
+        from tools.refcmp.export_decoders import export_reference_decoders
+        pretrained = export_reference_decoders(
+            os.path.join(REPO, "pretrained", "decoders_tpu.npz"),
+            os.path.join(args.workdir, "pretrained"))
     results_path = os.path.join(args.workdir, "quality.json")
     results: dict = {}
     if os.path.exists(results_path):
@@ -294,13 +327,14 @@ def main():
         if not args.skip_ref and "reference" not in results[seq]:
             out = os.path.join(args.workdir, f"ref_{seq}")
             yml = os.path.join(args.workdir, f"ref_{seq}.yaml")
-            write_ref_yaml(yml, b, data_dir, out)
+            write_ref_yaml(yml, b, data_dir, out, mode=args.mode,
+                           pretrained=pretrained)
             print(f"[cmp] running REFERENCE on {seq} "
-                  f"(torch CPU, its own orchestrator)")
+                  f"(torch CPU, its own orchestrator, {args.mode})")
             wall = run_reference(yml, os.path.join(args.workdir,
                                                    f"ref_{seq}.log"),
-                                 args.timeout)
-            ate = ate_from_ref_ckpt(os.path.join(out, "ckpts"))
+                                 args.timeout, mode=args.mode)
+            ate = ate_from_ref_ckpt(os.path.join(out, "ckpts"), scale)
             results[seq]["reference"] = {"ate": ate, "wall_s": wall}
             print(f"[cmp] reference {seq}: rmse {ate['rmse']:.4f} m "
                   f"({wall:.0f}s)")
@@ -310,12 +344,13 @@ def main():
         if not args.skip_ours and "ours" not in results[seq]:
             out = os.path.join(args.workdir, f"ours_{seq}")
             yml = os.path.join(args.workdir, f"ours_{seq}.yaml")
-            write_ours_yaml(yml, b, data_dir, out)
-            print(f"[cmp] running OURS on {seq}")
+            write_ours_yaml(yml, b, data_dir, out, mode=args.mode)
+            print(f"[cmp] running OURS on {seq} ({args.mode})")
             wall = run_ours(yml, os.path.join(args.workdir,
                                               f"ours_{seq}.log"),
-                            args.timeout, args.ours_platform)
-            ate = ate_from_ours_ckpt(os.path.join(out, "ckpts"))
+                            args.timeout, args.ours_platform,
+                            mode=args.mode)
+            ate = ate_from_ours_ckpt(os.path.join(out, "ckpts"), scale)
             results[seq]["ours"] = {"ate": ate, "wall_s": wall,
                                     "platform": args.ours_platform
                                     or "default"}
@@ -324,7 +359,8 @@ def main():
             with open(results_path, "w") as f:
                 json.dump(results, f, indent=2)
 
-    write_quality_md(results, args.budget, args.frames, args.quality_md)
+    write_quality_md(results, args.budget, args.frames, args.quality_md,
+                     mode=args.mode)
     print(f"[cmp] wrote {args.quality_md}")
     print(json.dumps(results, indent=2))
 

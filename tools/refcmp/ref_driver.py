@@ -60,6 +60,41 @@ def _install_patches():
 
     common.quad2rotation = quad2rotation
 
+    # NICE.forward hardcodes device = f'cuda:{p.get_device()}'
+    # (src/conv_onet/models/decoder.py:316) -> 'cuda:-1' on CPU tensors.
+    # Re-bind with device = p.device; identical math.
+    from src.conv_onet.models import decoder as ref_decoder
+    import torch as _torch
+
+    def nice_forward(self, p, c_grid, stage="middle", **kwargs):
+        device = p.device
+        if stage == "coarse":
+            occ = self.coarse_decoder(p, c_grid).squeeze(0)
+            raw = _torch.zeros(occ.shape[0], 4, device=device).float()
+            raw[..., -1] = occ
+            return raw
+        elif stage == "middle":
+            middle_occ = self.middle_decoder(p, c_grid).squeeze(0)
+            raw = _torch.zeros(middle_occ.shape[0], 4,
+                               device=device).float()
+            raw[..., -1] = middle_occ
+            return raw
+        elif stage == "fine":
+            fine_occ = self.fine_decoder(p, c_grid)
+            raw = _torch.zeros(fine_occ.shape[0], 4,
+                               device=device).float()
+            middle_occ = self.middle_decoder(p, c_grid).squeeze(0)
+            raw[..., -1] = fine_occ + middle_occ
+            return raw
+        elif stage == "color":
+            fine_occ = self.fine_decoder(p, c_grid)
+            raw = self.color_decoder(p, c_grid)
+            middle_occ = self.middle_decoder(p, c_grid).squeeze(0)
+            raw[..., -1] = fine_occ + middle_occ
+            return raw
+
+    ref_decoder.NICE.forward = nice_forward
+
     from src.utils.Mesher import Mesher
 
     def get_mesh(self, mesh_out_file, *args, **kwargs):
