@@ -210,6 +210,18 @@ def run_attempt(args):
 
     # ---- measured segment ----
     groups = load_groups(eng, n_warm, n_frames)
+    n_measured = n_frames - n_warm
+    if eng.map_lag > 0:
+        # lagged modes: the first post-warmup group absorbs a measured
+        # one-time backend cost (~5 s once, then 0.3-0.4 s/group steady
+        # state) — burn one group as warmup stage 4 so the timed segment
+        # is steady state, like the compile exclusions above
+        run_groups(eng, groups[:1], n_frames, fused=True)
+        n_measured -= groups[0][1] - groups[0][0] + 1
+        groups = groups[1:]
+        print(f"warmup stage 4 (lagged steady-state) ok "
+              f"{time.perf_counter() - t_w:.1f}s", file=sys.stderr,
+              flush=True)
     eng.timings = {k: 0.0 for k in eng.timings}
 
     prof = None
@@ -222,7 +234,7 @@ def run_attempt(args):
     if prof is not None:
         prof.stop_trace()
 
-    fps = (n_frames - n_warm) / device_time
+    fps = n_measured / device_time
     print(json.dumps({"timings_s": eng.timings, "wall_s": device_time}),
           file=sys.stderr)
     return fps

@@ -926,16 +926,27 @@ class SlamEngine:
                                      depths[:lo + 1])
             t_pre = time.perf_counter() - t0
             self.timings["track"] += t_pre
-            if prev is not None:
-                p_cur, p_colors, p_depths, p_gts = prev
-                self.mapping_event(m, p_colors, p_depths, p_gts[m - p_cur],
-                                   frame_sel=m - p_cur)
-            else:
-                # resume landed mid-schedule and the lagged frame's stack
-                # is gone — fall back to the freshest tracked frame (same
-                # fallback as run()'s _frame_cache miss)
-                self.mapping_event(m, colors, depths, gts[lo],
-                                   frame_sel=lo)
+            # when track B follows (loose), the end-of-group barrier
+            # covers the mapping event too — skip the event's own barrier
+            # to save one RPC round trip per group.  free mode (event at
+            # group end) keeps it: nothing later would wait otherwise.
+            saved_barrier = self._map_barrier
+            if idx_e < g_end:
+                self._map_barrier = False
+            try:
+                if prev is not None:
+                    p_cur, p_colors, p_depths, p_gts = prev
+                    self.mapping_event(m, p_colors, p_depths,
+                                       p_gts[m - p_cur],
+                                       frame_sel=m - p_cur)
+                else:
+                    # resume landed mid-schedule and the lagged frame's
+                    # stack is gone — fall back to the freshest tracked
+                    # frame (same fallback as run()'s _frame_cache miss)
+                    self.mapping_event(m, colors, depths, gts[lo],
+                                       frame_sel=lo)
+            finally:
+                self._map_barrier = saved_barrier
             t0 = time.perf_counter()
             if idx_e < g_end:
                 last = self._track_group(idx_e + 1, g_end,
