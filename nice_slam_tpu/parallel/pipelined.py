@@ -86,6 +86,19 @@ class PipelinedSlamEngine(SlamEngine):
             jax.tree.map(lambda x: x + jnp.zeros((), x.dtype), t),
             jax.lax.dynamic_index_in_dim(t["e"], idx, keepdims=False))))
 
+    _fresh_copy = staticmethod(jax.jit(
+        lambda t: jax.tree.map(lambda x: x + jnp.zeros((), x.dtype), t)))
+
+    def _est_to_map(self, est):
+        """Trajectory copy for the mapper.  On two devices this is the
+        cross-device transfer; on ONE device (degraded single-chip mode)
+        jax.device_put is a NO-OP returning the SAME buffer — which
+        mapping_step then DONATES, deleting the tracker's est buffer out
+        from under it.  Force a fresh buffer in that case."""
+        if self.dev_map is self.dev_track:
+            return self._fresh_copy(est)
+        return jax.device_put(est, self.dev_map)
+
     def _snapshot(self, idx: Optional[int]):
         """Pull the mapper's latest params/grids to the tracking device
         (the analogue of Tracker.update_para_from_mapping) and fold the
@@ -116,7 +129,7 @@ class PipelinedSlamEngine(SlamEngine):
         depth_m = jax.device_put(depth, self.dev_map)
         self.gt_c2w[0] = gt_pose
         self._est_dev = self._set_pose(self._est_dev, 0, gt_pose)
-        self._est_m = jax.device_put(self._est_dev, self.dev_map)
+        self._est_m = self._est_to_map(self._est_dev)
         self.mapping_event(0, color_m, depth_m, gt_pose, first=True)
         self._snapshot(None)
         self.frames_done = 1
@@ -142,7 +155,7 @@ class PipelinedSlamEngine(SlamEngine):
 
             # 3) enqueue THIS boundary's mapping event on M
             if g_end % self.every_frame == 0 or g_end == n - 1:
-                self._est_m = jax.device_put(self._est_dev, self.dev_map)
+                self._est_m = self._est_to_map(self._est_dev)
                 cm = jax.device_put(colors, self.dev_map)
                 dm = jax.device_put(depths, self.dev_map)
                 self.mapping_event(g_end, cm, dm, gts[-1],

@@ -158,3 +158,34 @@ class TestPipelinedEngine:
         rmse = eng.ate()["rmse"]
         assert np.isfinite(rmse) and rmse < 0.5, rmse
         assert len(eng.kf_frame_ids) >= 3
+
+    def test_single_device_degraded_mode(self):
+        """Pipelined on ONE device (the degraded single-chip mode the
+        docstring promises) must run, not crash: jax.device_put is a
+        no-op there, so the mapper's est-buffer 'copy' aliased the
+        tracker's — and mapping_step's donation deleted it (found by the
+        round-4 real-chip run, VERDICT r3 #9)."""
+        from nice_slam_tpu.parallel.pipelined import PipelinedSlamEngine
+
+        cfg = load_config(overrides={
+            "dataset": "synthetic", "synthetic": {"n_frames": 7},
+            "cam": {"H": 48, "W": 64, "fx": 48.0, "fy": 48.0,
+                    "cx": 31.5, "cy": 23.5},
+            "grid_len": GRID_LEN,
+            "mapping": {"bound": [[-0.5, 4.5], [-0.5, 3.5], [-0.5, 4.5]],
+                        "every_frame": 3, "iters_first": 40, "iters": 10,
+                        "pixels": 150, "mapping_window_size": 3,
+                        "keyframe_every": 3, "ckpt_freq": 10000,
+                        "mesh_freq": 10000, "color_refine": False},
+            "tracking": {"iters": 4, "pixels": 80,
+                         "ignore_edge_W": 4, "ignore_edge_H": 4},
+            "rendering": {"N_samples": 14, "N_surface": 7},
+            "tpu": {"seed": 0},
+            "data": {"output": "/tmp/pipe1_out"}})
+        d0 = jax.devices()[0]
+        eng = PipelinedSlamEngine(cfg, output="/tmp/pipe1_out",
+                                  devices=[d0])
+        assert eng.dev_track is eng.dev_map
+        eng.run(progress=False)
+        assert np.isfinite(eng.est_c2w[:7]).all()
+        assert np.isfinite(eng.ate()["rmse"])
