@@ -137,6 +137,31 @@ def residual_sse(params, grids, bound, window, cams, key, camera: Camera,
                                window["depths"], valid_mask)
 
 
+def mask_count(bound, window, cams, key, camera: Camera,
+               pixels_per_frame: int):
+    """Per-frame count of VALID residual rays (the mask part of
+    _frame_residuals — pose-dependent via the ray/AABB test, no render
+    needed).  The guard needs it: a garbage candidate pose that pushes
+    every ray out of bound zeroes all residual weights, so its SSE is
+    trivially ~0 and would win the sse1 <= sse0 test — observed
+    end-to-end as a 76 m trajectory explosion (round 4, seq_b nice +
+    tracking GN)."""
+    wn = cams.shape[0]
+    pix_keys, _ = _frame_keys(key, wn)
+
+    def per_frame(cam7, kp, depth_):
+        i, j = sample_pixels(kp, pixels_per_frame, 0, camera.H, 0, camera.W)
+        gt_d = gather_pixels(depth_, i, j)
+        c2w = cam_from_tensor(cam7)
+        rays_o, rays_d = rays_from_uv(i, j, c2w, camera.fx, camera.fy,
+                                      camera.cx, camera.cy)
+        t_exit = ray_aabb_far(rays_o, rays_d, bound)
+        return jnp.sum(((gt_d > 0) & (t_exit >= gt_d))
+                       .astype(jnp.float32))
+
+    return jax.vmap(per_frame)(cams, pix_keys, window["depths"])
+
+
 def gn_pose_update(cams, H, b, cam_lr_mask, damping: float):
     """Damped per-frame solve: (H + λ·(diag(H) + εI)) Δ = b, applied only
     where cam_lr_mask > 0 (the BA convention: oldest + invalid window
@@ -169,9 +194,15 @@ def gn_iteration(params, grids, bound, window, cams, cam_lr_mask, key,
     cand = gn_pose_update(cams, H, b, cam_lr_mask, damping)
     sse1 = residual_sse(params, grids, bound, window, cand, key, camera,
                         rspec, mspec, pixels_per_frame, valid_mask)
+    # the SSE compares WEIGHTED residuals, and the weights vanish for
+    # rays a candidate pushes out of bound — an sse1 of ~0 from an empty
+    # mask is a degenerate win, not an improvement.  Require the
+    # candidate to keep at least half the current pose's valid rays.
+    cnt0 = mask_count(bound, window, cams, key, camera, pixels_per_frame)
+    cnt1 = mask_count(bound, window, cand, key, camera, pixels_per_frame)
     if reduce_fn is not None:
-        sse1 = reduce_fn(sse1)
-    accept = (sse1 <= sse0) & (cam_lr_mask > 0)
+        sse1, cnt0, cnt1 = reduce_fn((sse1, cnt0, cnt1))
+    accept = (sse1 <= sse0) & (cnt1 >= 0.5 * cnt0) & (cam_lr_mask > 0)
     cams = jnp.where(accept[:, None], cand, cams)
     return cams, jnp.where(accept, sse1, sse0)
 

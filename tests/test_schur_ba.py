@@ -132,6 +132,36 @@ class TestGaussNewton:
                                 specs.model, 2, 128, 1e-3)
         assert not bool(jnp.allclose(out[2], pert[2]))
 
+    def test_degenerate_candidate_rejected(self):
+        """A candidate pose that pushes (almost) every ray out of bound
+        zeroes the residual weights, making its SSE trivially ~0 — the
+        guard must NOT accept it on SSE alone (observed end-to-end as a
+        76 m trajectory explosion before the mask-count term)."""
+        from nice_slam_tpu.parallel.schur_ba import (
+            gn_iteration,
+            mask_count,
+        )
+
+        specs, state, window, cams0, cam, rspec = _setup()
+        # teleport the candidate far outside the bound: mask collapses
+        far = cams0.at[2, 4:].set(jnp.array([50.0, 50.0, 50.0]))
+        k = jax.random.PRNGKey(3)
+        cnt_good = mask_count(state.bound, window, cams0, k, cam, 128)
+        cnt_far = mask_count(state.bound, window, far, k, cam, 128)
+        assert float(cnt_far[2]) < 0.5 * float(cnt_good[2])
+        # force the solver toward the degenerate pose via a crafted
+        # (H, b): monkeypatch not needed — just verify accept logic by
+        # running an iteration from the far pose: its own system is
+        # empty, so candidates cannot "win" by emptying further, and the
+        # original pose must never be replaced by an empty-mask one.
+        with plain_interp():
+            cams1, _ = gn_iteration(
+                state.params, state.grids, state.bound, window, cams0,
+                jnp.array([0.0, 0.0, 1.0]), k, cam, rspec, specs.model,
+                128, 1e-3)
+        cnt_after = mask_count(state.bound, window, cams1, k, cam, 128)
+        assert float(cnt_after[2]) >= 0.5 * float(cnt_good[2])
+
     def test_zero_mask_is_identity(self):
         specs, state, window, cams0, cam, rspec = _setup()
         out = schur_pose_refine(state.params, state.grids, state.bound,
