@@ -162,10 +162,18 @@ def mask_count(bound, window, cams, key, camera: Camera,
     return jax.vmap(per_frame)(cams, pix_keys, window["depths"])
 
 
-def gn_pose_update(cams, H, b, cam_lr_mask, damping: float):
+def gn_pose_update(cams, H, b, cam_lr_mask, damping: float,
+                   delta_max: float = 0.2):
     """Damped per-frame solve: (H + λ·(diag(H) + εI)) Δ = b, applied only
     where cam_lr_mask > 0 (the BA convention: oldest + invalid window
-    slots stay frozen, Mapper.py:349-351)."""
+    slots stay frozen, Mapper.py:349-351).
+
+    The step is trust-region clamped to ‖Δ‖ <= delta_max (in quat‖trans
+    units): on weakly-constrained geometry the quadratic model can
+    propose huge steps whose SSE happens to pass the sampled guard —
+    iterated, that walks the pose off the map (observed on seq_b with
+    the tracking polish).  A pose within delta_max of the optimum still
+    converges in 1-2 clamped iterations."""
     eye = jnp.eye(7)
 
     def solve(Hf, bf):
@@ -175,6 +183,8 @@ def gn_pose_update(cams, H, b, cam_lr_mask, damping: float):
 
     delta = jax.vmap(solve)(H, b)              # (Wn, 7)
     delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+    norm = jnp.linalg.norm(delta, axis=1, keepdims=True)
+    delta = delta * jnp.minimum(1.0, delta_max / (norm + 1e-12))
     step_mask = (cam_lr_mask > 0).astype(cams.dtype)[:, None]
     return cams - delta * step_mask
 
