@@ -74,6 +74,10 @@ SEQUENCES = {
     "seq_a": (SyntheticScene.default, {}),
     "seq_b": (scene_b, {"radius_frac": 0.33, "height_frac": 0.42,
                         "sweep": None}),
+    # slow orbit (~half of seq_a's per-frame motion — Replica-like):
+    # both systems' operating envelope, the clean-regime data point
+    "seq_c": (SyntheticScene.default, {"radius_frac": 0.3,
+                                       "height_frac": 0.55}),
 }
 
 
@@ -88,6 +92,11 @@ def export_sequence(out_dir: str, seq: str, n_frames: int,
         # reversed orbit direction: a different motion profile
         kw = dict(traj_kwargs)
         kw["sweep"] = -min(0.02 * n_frames, 1.5 * np.pi)
+        traj_kwargs = kw
+    elif seq == "seq_c":
+        # half-speed sweep: ~1.1 cm / 0.6 deg per frame
+        kw = dict(traj_kwargs)
+        kw["sweep"] = min(0.01 * n_frames, 1.5 * np.pi)
         traj_kwargs = kw
     poses = orbit_trajectory(scene, n_frames, **traj_kwargs)
 
