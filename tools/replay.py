@@ -1,16 +1,24 @@
 #!/usr/bin/env python
-"""Offline trajectory/mesh replay (analogue of the reference's
-visualizer.py + src/tools/viz.py, which need an Open3D GUI).
+"""Trajectory/mesh replay (analogue of the reference's visualizer.py +
+src/tools/viz.py, which need an Open3D GUI).
 
-Renders a frame sequence (png, optionally mp4 via matplotlib writers) of
-the estimated vs GT camera trajectory, camera frusta, keyframe graph and
-mesh silhouette from a run's checkpoint — the offline analogues of the
-reference's live Open3D overlays (src/tools/viz.py:45-153: per-frame
-est/GT frusta, trajectory point clouds, mesh replay)."""
+Two output modes:
+ - png/mp4 frame sequences (matplotlib) of the estimated vs GT camera
+   trajectory, camera frusta, keyframe graph and mesh silhouette — the
+   offline analogues of the reference's live Open3D overlays
+   (src/tools/viz.py:45-153).
+ - `--html out.html`: a fully INTERACTIVE self-contained WebGL viewer
+   (orbit/zoom/pan, time slider + play to replay the run, mesh +
+   frusta + keyframe-graph toggles) with all geometry embedded as
+   base64 — the interactive analogue of the reference's live window
+   (src/tools/viz.py:180-209) that works with no GUI stack, no server
+   and no network: open the file in any browser."""
 
 from __future__ import annotations
 
 import argparse
+import base64
+import json
 import os
 import sys
 
@@ -38,24 +46,13 @@ def draw_frustum(ax, c2w, color, scale=0.25):
         ax.plot(*np.stack([a, b]).T, color=color, linewidth=0.8)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("output_dir", help="run output dir (ckpts/, mesh/)")
-    ap.add_argument("--save", default=None, help="mp4 output path")
-    ap.add_argument("--frames_dir", default=None,
-                    help="also dump per-frame pngs here")
-    ap.add_argument("--stride", type=int, default=5)
-    args = ap.parse_args()
-
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-    from matplotlib import animation
-
+def load_run(output_dir):
+    """(est, gt, n, kf_ids, mesh) from a run's latest checkpoint; mesh is
+    (verts f32, tris i64, colors u8|None) or None."""
     from nice_slam_tpu.utils.checkpoint import latest_checkpoint
     from nice_slam_tpu.utils.plyio import read_ply
 
-    ck = latest_checkpoint(os.path.join(args.output_dir, "ckpts"))
+    ck = latest_checkpoint(os.path.join(output_dir, "ckpts"))
     if ck is None:
         sys.exit("no checkpoint found")
     with np.load(ck) as z:
@@ -64,15 +61,83 @@ def main():
         n = int(z["idx"]) or len(est)
         kf_ids = (z["extra/kf_frame_ids"].astype(int)
                   if "extra/kf_frame_ids" in z.files else np.zeros(0, int))
+    mesh_path = os.path.join(output_dir, "mesh", "final_mesh.ply")
+    mesh = read_ply(mesh_path) if os.path.exists(mesh_path) else None
+    return est, gt, n, kf_ids, mesh
 
-    mesh_path = os.path.join(args.output_dir, "mesh", "final_mesh.ply")
-    mesh_pts = None
-    if os.path.exists(mesh_path):
-        verts, _, _ = read_ply(mesh_path)
-        if len(verts):
+
+def write_html(output_dir: str, out_path: str, max_faces: int = 150000):
+    """Self-contained interactive WebGL replay (see module docstring)."""
+    est, gt, n, kf_ids, mesh = load_run(output_dir)
+
+    def b64(arr, dtype):
+        return base64.b64encode(
+            np.ascontiguousarray(arr, dtype).tobytes()).decode()
+
+    data = {
+        "n": int(n),
+        "est": b64(est[:n].reshape(n, 16), np.float32),
+        "gt": b64(gt[:n].reshape(n, 16), np.float32),
+        "kf": [int(k) for k in kf_ids if k < n],
+    }
+    if mesh is not None and len(mesh[1]):
+        verts, tris, colors = mesh
+        if len(tris) > max_faces:  # keep the file browser-friendly
             sel = np.random.RandomState(0).choice(
-                len(verts), min(len(verts), 20000), replace=False)
-            mesh_pts = verts[sel]
+                len(tris), max_faces, replace=False)
+            tris = tris[sel]
+        data["mesh_v"] = b64(verts, np.float32)
+        data["mesh_i"] = b64(tris, np.uint32)
+        if colors is not None:
+            data["mesh_c"] = b64(colors.astype(np.float32) / 255.0,
+                                 np.float32)
+    ok = np.isfinite(gt[:n, :3, 3]).all(-1)
+    if ok.sum() >= 2:
+        from nice_slam_tpu.utils.trajectory import ate_stats
+        data["ate"] = f"{ate_stats(gt[:n][ok], est[:n][ok])['rmse']:.4f}"
+
+    tpl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "viewer_template.html")
+    with open(tpl_path) as f:
+        tpl = f.read()
+    html = tpl.replace("__TITLE__", os.path.basename(
+        os.path.abspath(output_dir))).replace("__DATA__", json.dumps(data))
+    with open(out_path, "w") as f:
+        f.write(html)
+    print(f"wrote interactive viewer {out_path} "
+          f"({os.path.getsize(out_path) / 1e6:.1f} MB, {n} frames"
+          + (f", {len(data.get('kf', []))} keyframes" if len(kf_ids)
+             else "") + ")")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("output_dir", help="run output dir (ckpts/, mesh/)")
+    ap.add_argument("--save", default=None, help="mp4 output path")
+    ap.add_argument("--frames_dir", default=None,
+                    help="also dump per-frame pngs here")
+    ap.add_argument("--html", default=None,
+                    help="write a self-contained interactive WebGL "
+                         "viewer to this path instead")
+    ap.add_argument("--stride", type=int, default=5)
+    args = ap.parse_args()
+
+    if args.html:
+        write_html(args.output_dir, args.html)
+        return
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import animation
+
+    est, gt, n, kf_ids, mesh = load_run(args.output_dir)
+    mesh_pts = None
+    if mesh is not None and len(mesh[0]):
+        verts = mesh[0]
+        sel = np.random.RandomState(0).choice(
+            len(verts), min(len(verts), 20000), replace=False)
+        mesh_pts = verts[sel]
 
     fig = plt.figure(figsize=(8, 8))
     ax = fig.add_subplot(111, projection="3d")
