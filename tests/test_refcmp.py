@@ -111,3 +111,41 @@ class TestMathutilsShim:
                  1 - s * (x * x + y * y)],
             ])
             np.testing.assert_allclose(R, q, atol=1e-10)
+
+
+class TestQualityMdReplicates:
+    """write_quality_md renders replicate lists (reference_runs /
+    ours_runs) and falls back to the legacy single-run keys."""
+
+    def _fake(self, rmse, seed=None, wall=10.0):
+        ate = {"rmse": rmse, "mean": rmse * 0.9, "median": rmse * 0.8,
+               "max": rmse * 1.5}
+        d = {"ate": ate, "wall_s": wall}
+        if seed is not None:
+            d["seed"] = seed
+        return d
+
+    def test_replicates_and_legacy(self, tmp_path):
+        from tools.compare_reference import write_quality_md
+        results = {
+            "seq_x": {
+                "reference_runs": [self._fake(0.034), self._fake(0.040)],
+                "ours_runs": [self._fake(0.029, seed=0),
+                              self._fake(0.050, seed=1)],
+            },
+            "seq_y": {  # legacy single-run layout
+                "reference": self._fake(0.10),
+                "ours": self._fake(0.05),
+            },
+        }
+        out = tmp_path / "q.md"
+        write_quality_md(results, "default", 40, str(out), mode="nice")
+        text = out.read_text()
+        assert "| seq_x | reference | #0 | 0.0340 |" in text
+        assert "| seq_x | reference | #1 | 0.0400 |" in text
+        assert "| seq_x | ours | seed 1 | 0.0500 |" in text
+        assert "| seq_y | ours | #0 | 0.0500 |" in text
+        # mean-based verdicts: seq_x ref mean 3.7 vs ours 3.95 -> TRAILS;
+        # seq_y 10 vs 5 -> BEATS
+        assert "**seq_x**: ours TRAILS" in text
+        assert "**seq_y**: ours BEATS" in text

@@ -251,31 +251,38 @@ def write_quality_md(results: dict, budget_name: str, frames: int,
            if mode == "nice" else "N_samples 32 + N_importance 12")
         + f", {frames} frames.",
         "",
-        "| sequence | system | ATE RMSE (m) | mean (m) | median (m) | "
-        "max (m) | wall (s) |",
-        "|---|---|---|---|---|---|---|",
+        "| sequence | system | run | ATE RMSE (m) | mean (m) | "
+        "median (m) | max (m) | wall (s) |",
+        "|---|---|---|---|---|---|---|---|",
     ]
+
+    def runs_of(r, side):
+        rr = r.get(side + "_runs") or ([r[side]] if side in r else [])
+        return rr
+
     for seq, r in sorted(results.items()):
         for side in ("reference", "ours"):
-            if side not in r:
-                continue
-            s = r[side]
-            a = s["ate"]
-            lines.append(
-                f"| {seq} | {side} | {a['rmse']:.4f} | {a['mean']:.4f} | "
-                f"{a['median']:.4f} | {a['max']:.4f} | "
-                f"{s['wall_s']:.0f} |")
+            for i, s in enumerate(runs_of(r, side)):
+                a = s["ate"]
+                tag = (f"seed {s['seed']}" if "seed" in s else f"#{i}")
+                lines.append(
+                    f"| {seq} | {side} | {tag} | {a['rmse']:.4f} | "
+                    f"{a['mean']:.4f} | {a['median']:.4f} | "
+                    f"{a['max']:.4f} | {s['wall_s']:.0f} |")
     lines.append("")
     for seq, r in sorted(results.items()):
-        if "reference" in r and "ours" in r:
-            ratio = (r["reference"]["ate"]["rmse"]
-                     / max(r["ours"]["ate"]["rmse"], 1e-9))
+        ref_r, our_r = runs_of(r, "reference"), runs_of(r, "ours")
+        if ref_r and our_r:
+            mr = float(np.mean([x["ate"]["rmse"] for x in ref_r]))
+            mo = float(np.mean([x["ate"]["rmse"] for x in our_r]))
+            ratio = mr / max(mo, 1e-9)
             verdict = "BEATS" if ratio > 1.0 else "TRAILS"
             lines.append(
-                f"- **{seq}**: ours {verdict} the reference — "
-                f"{r['ours']['ate']['rmse']*100:.1f} cm vs "
-                f"{r['reference']['ate']['rmse']*100:.1f} cm "
-                f"({ratio:.2f}x).")
+                f"- **{seq}**: ours {verdict} the reference on mean "
+                f"rmse — {mo*100:.1f} cm ({len(our_r)} runs) vs "
+                f"{mr*100:.1f} cm ({len(ref_r)} runs, {ratio:.2f}x); "
+                "with few replicates treat sub-2x gaps as noise "
+                "(per-run variance spans several cm on fast scenes).")
     lines.append("")
     with open(out_path, "w") as f:
         f.write("\n".join(lines))
@@ -290,6 +297,13 @@ def main():
     ap.add_argument("--mode", type=str, default="imap",
                     choices=("imap", "nice"))
     ap.add_argument("--workdir", type=str, default="/tmp/refcmp_run")
+    ap.add_argument("--ref-runs", type=int, default=1,
+                    help="reference replicates per sequence (the "
+                         "reference is unseeded — each run samples its "
+                         "run-to-run variance; ~20-40 min each on CPU)")
+    ap.add_argument("--seeds", type=str, default="0",
+                    help="comma-separated seeds for our side (one run "
+                         "per seed)")
     ap.add_argument("--skip-ref", action="store_true")
     ap.add_argument("--skip-ours", action="store_true")
     ap.add_argument("--ours-platform", type=str, default=None,
@@ -324,38 +338,53 @@ def main():
             export_sequence(data_dir, seq, args.frames)
         results.setdefault(seq, {})
 
-        if not args.skip_ref and "reference" not in results[seq]:
-            out = os.path.join(args.workdir, f"ref_{seq}")
-            yml = os.path.join(args.workdir, f"ref_{seq}.yaml")
+        # replicates: runs are resumable — each completed run is saved
+        # to quality.json before the next starts, and re-invoking skips
+        # what is already there.  Legacy single-run keys ("reference",
+        # "ours") alias the first replicate.
+        ref_runs = results[seq].setdefault("reference_runs", [])
+        if "reference" in results[seq] and not ref_runs:
+            ref_runs.append(results[seq]["reference"])  # legacy resume
+        while not args.skip_ref and len(ref_runs) < args.ref_runs:
+            r_i = len(ref_runs)
+            out = os.path.join(args.workdir, f"ref_{seq}_r{r_i}")
+            yml = os.path.join(args.workdir, f"ref_{seq}_r{r_i}.yaml")
             write_ref_yaml(yml, b, data_dir, out, mode=args.mode,
                            pretrained=pretrained)
-            print(f"[cmp] running REFERENCE on {seq} "
+            print(f"[cmp] running REFERENCE on {seq} run {r_i} "
                   f"(torch CPU, its own orchestrator, {args.mode})")
-            wall = run_reference(yml, os.path.join(args.workdir,
-                                                   f"ref_{seq}.log"),
-                                 args.timeout, mode=args.mode)
+            wall = run_reference(
+                yml, os.path.join(args.workdir, f"ref_{seq}_r{r_i}.log"),
+                args.timeout, mode=args.mode)
             ate = ate_from_ref_ckpt(os.path.join(out, "ckpts"), scale)
-            results[seq]["reference"] = {"ate": ate, "wall_s": wall}
-            print(f"[cmp] reference {seq}: rmse {ate['rmse']:.4f} m "
-                  f"({wall:.0f}s)")
+            ref_runs.append({"ate": ate, "wall_s": wall})
+            results[seq]["reference"] = ref_runs[0]
+            print(f"[cmp] reference {seq} run {r_i}: "
+                  f"rmse {ate['rmse']:.4f} m ({wall:.0f}s)")
             with open(results_path, "w") as f:
                 json.dump(results, f, indent=2)
 
-        if not args.skip_ours and "ours" not in results[seq]:
-            out = os.path.join(args.workdir, f"ours_{seq}")
-            yml = os.path.join(args.workdir, f"ours_{seq}.yaml")
+        our_runs = results[seq].setdefault("ours_runs", [])
+        if "ours" in results[seq] and not our_runs:
+            our_runs.append(dict(results[seq]["ours"], seed=0))
+        seeds = [int(s) for s in args.seeds.split(",")]
+        for seed in seeds if not args.skip_ours else []:
+            if any(r.get("seed") == seed for r in our_runs):
+                continue
+            out = os.path.join(args.workdir, f"ours_{seq}_s{seed}")
+            yml = os.path.join(args.workdir, f"ours_{seq}_s{seed}.yaml")
             write_ours_yaml(yml, b, data_dir, out, mode=args.mode)
-            print(f"[cmp] running OURS on {seq} ({args.mode})")
+            print(f"[cmp] running OURS on {seq} seed {seed} ({args.mode})")
             wall = run_ours(yml, os.path.join(args.workdir,
-                                              f"ours_{seq}.log"),
-                            args.timeout, args.ours_platform,
+                                              f"ours_{seq}_s{seed}.log"),
+                            args.timeout, args.ours_platform, seed=seed,
                             mode=args.mode)
             ate = ate_from_ours_ckpt(os.path.join(out, "ckpts"), scale)
-            results[seq]["ours"] = {"ate": ate, "wall_s": wall,
-                                    "platform": args.ours_platform
-                                    or "default"}
-            print(f"[cmp] ours {seq}: rmse {ate['rmse']:.4f} m "
-                  f"({wall:.0f}s)")
+            our_runs.append({"seed": seed, "ate": ate, "wall_s": wall,
+                             "platform": args.ours_platform or "default"})
+            results[seq]["ours"] = our_runs[0]
+            print(f"[cmp] ours {seq} seed {seed}: "
+                  f"rmse {ate['rmse']:.4f} m ({wall:.0f}s)")
             with open(results_path, "w") as f:
                 json.dump(results, f, indent=2)
 
