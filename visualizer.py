@@ -1,11 +1,15 @@
 #!/usr/bin/env python
-"""Offline trajectory/mesh replay — CLI-parity alias for tools/replay.py
+"""Trajectory/mesh replay — CLI-parity alias for tools/replay.py
 (the reference exposes this entry point at the repo root,
-reference visualizer.py:1-96; its interactive Open3D window becomes an
-offline matplotlib animation here — this sandbox has no GUI stack).
+reference visualizer.py:1-96).  Its interactive Open3D window becomes
+either an offline matplotlib animation (--save/--frames_dir) or a
+self-contained INTERACTIVE WebGL viewer (--html: orbit/zoom/pan, time
+scrubbing, mesh + frusta + keyframe graph) that opens in any browser —
+no GUI stack needed on this host.
 
 Usage:
     python visualizer.py output/Replica/room0 --save replay.mp4
+    python visualizer.py output/Replica/room0 --html replay.html
 """
 
 import os
