@@ -201,6 +201,21 @@ def _imap_normal_colors(params, mspec, grids, bound, verts: np.ndarray,
     return (np.clip(out[:n], 0, 1) * 255 + 0.5).astype(np.uint8)
 
 
+def compose_forecast_occupancy(occ_fine: np.ndarray, occ_coarse: np.ndarray,
+                               seen: np.ndarray, hull: np.ndarray):
+    """Scene-completion occupancy composition (reference
+    Mesher.py:386-418): seen points keep the fine level, unseen points
+    inside the scene hull take the coarse (completion) level + 0.2, and
+    everything else is forced solid (100, the sign-flipped analogue of
+    the reference's -100/100 trick for occupancy polarity) so no
+    spurious surface appears outside the mapped volume.
+
+    Returns (composed occupancy, forecast mask)."""
+    forecast = (~seen) & hull
+    occ = np.where(forecast, occ_coarse + 0.2, occ_fine)
+    return np.where(seen | forecast, occ, 100.0), forecast
+
+
 def extract_mesh(params, mspec: ModelSpec, grids, bound, mc_bound,
                  camera: Camera, spec: MeshSpec,
                  kf_c2w=None, kf_depth=None, n_keyframes: int = 0,
@@ -237,13 +252,12 @@ def extract_mesh(params, mspec: ModelSpec, grids, bound, mc_bound,
                                   camera, spec.mesh_bound_scale)
             if hull_pts is None:
                 hull_pts = np.zeros(len(pts), bool)
-            forecast_mask = (~seen) & hull_pts
             coarse_raw = _eval_volume_chunked(
                 params, mspec, grids, bound, jnp.asarray(pts), "coarse",
                 spec.points_chunk)
             coarse_occ = np.asarray(coarse_raw[:, 3])
-            occ = np.where(forecast_mask, coarse_occ + 0.2, occ)
-            occ = np.where(seen | forecast_mask, occ, 100.0)
+            occ, forecast_mask = compose_forecast_occupancy(
+                occ, coarse_occ, seen, hull_pts)
         else:
             # unseen space is forced solid so no spurious surface appears
             # there; faces there are culled below (reference occ=-100/100
@@ -285,6 +299,7 @@ def extract_mesh(params, mspec: ModelSpec, grids, bound, mc_bound,
         used[tris.reshape(-1)] = True
         remap = np.cumsum(used) - 1
         verts = verts[used]
+        vseen = vseen[used]  # keep aligned for the forecast cyan paint
         tris = remap[tris]
 
     colors = None

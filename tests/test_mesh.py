@@ -279,6 +279,25 @@ class TestCullMesh:
         assert len(kept2) == 0
 
 
+class TestForecastComposition:
+    def test_compose_semantics(self):
+        """Scene-completion occupancy composition pins the reference's
+        semantics (Mesher.py:386-418): seen->fine, unseen-in-hull->
+        coarse+0.2, outside->solid."""
+        from nice_slam_tpu.utils.mesher import compose_forecast_occupancy
+
+        occ_f = np.array([5.0, -3.0, 1.0, 2.0], np.float32)
+        occ_c = np.array([0.5, -0.5, -1.0, 3.0], np.float32)
+        seen = np.array([True, False, False, True])
+        hull = np.array([True, True, False, False])
+        occ, fmask = compose_forecast_occupancy(occ_f, occ_c, seen, hull)
+        np.testing.assert_array_equal(fmask, [False, True, False, False])
+        assert occ[0] == 5.0                       # seen -> fine level
+        assert occ[1] == pytest.approx(-0.5 + 0.2)  # forecast -> coarse+0.2
+        assert occ[2] == 100.0                     # outside hull -> solid
+        assert occ[3] == 2.0                       # seen even outside hull
+
+
 class TestImapNormalColors:
     def test_colors_shape_and_range(self):
         """iMAP* vertex coloring renders along vertex normals

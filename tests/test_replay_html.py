@@ -28,16 +28,22 @@ def _orbit_c2w(n, radius=2.0):
     return out
 
 
-def _fake_run(tmp_path, n=12, with_mesh=True, nan_gt_frames=()):
+def _fake_run(tmp_path, n=12, with_mesh=True, nan_gt_frames=(),
+              selkf=False):
     out = tmp_path / "run"
     (out / "ckpts").mkdir(parents=True)
     est = _orbit_c2w(n)
     gt = _orbit_c2w(n, radius=2.01)
     for f in nan_gt_frames:
         gt[f] = np.nan
+    extra = {"extra/kf_frame_ids": np.array([0, 5, 10])}
+    if selkf:
+        # two mapping events with padded windows (-2 = empty slot); the
+        # second references frame 20 >= n to exercise range filtering
+        extra["extra/selkf_event_idx"] = np.array([5, 10])
+        extra["extra/selkf_frames"] = np.array([[0, 5, -2], [0, 5, 20]])
     np.savez(out / "ckpts" / "00011.npz", est_c2w=est, gt_c2w=gt,
-             idx=np.int64(n),
-             **{"extra/kf_frame_ids": np.array([0, 5, 10])})
+             idx=np.int64(n), **extra)
     if with_mesh:
         (out / "mesh").mkdir()
         v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]],
@@ -91,6 +97,34 @@ class TestReplayHtml:
         data = _extract_data(out.read_text())
         tris = np.frombuffer(base64.b64decode(data["mesh_i"]), np.uint32)
         assert tris.shape == (6,)  # capped at 2 faces
+
+    def test_selected_keyframes_embedded(self, tmp_path):
+        """The save_selected_keyframes_info record reaches the viewer:
+        per-event windows with empty slots dropped and out-of-range
+        frames filtered."""
+        run = _fake_run(tmp_path, selkf=True)
+        out = tmp_path / "viewer.html"
+        from tools.replay import write_html
+        write_html(str(run), str(out))
+        data = _extract_data(out.read_text())
+        assert data["selkf"] == [[5, [0, 5]], [10, [0, 5]]]
+
+    def test_mesh_decimation_compacts_vertices(self, tmp_path):
+        """Capping faces must also shrink the embedded vertex/color
+        arrays to the referenced vertices (the cap otherwise does not
+        bound file size)."""
+        run = _fake_run(tmp_path)
+        out = tmp_path / "viewer.html"
+        from tools.replay import write_html
+        write_html(str(run), str(out), max_faces=1)
+        data = _extract_data(out.read_text())
+        tris = np.frombuffer(base64.b64decode(data["mesh_i"]), np.uint32)
+        verts = np.frombuffer(base64.b64decode(data["mesh_v"]), np.float32)
+        assert tris.shape == (3,)
+        assert verts.shape == (9,)  # exactly the 3 referenced vertices
+        assert tris.max() < 3  # indices remapped into the compacted array
+        cols = np.frombuffer(base64.b64decode(data["mesh_c"]), np.float32)
+        assert cols.shape == (9,)
 
     def test_cli_entry(self, tmp_path):
         run = _fake_run(tmp_path)

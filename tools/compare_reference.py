@@ -276,7 +276,10 @@ def write_quality_md(results: dict, budget_name: str, frames: int,
             mr = float(np.mean([x["ate"]["rmse"] for x in ref_r]))
             mo = float(np.mean([x["ate"]["rmse"] for x in our_r]))
             ratio = mr / max(mo, 1e-9)
-            verdict = "BEATS" if ratio > 1.0 else "TRAILS"
+            # a 2% band around 1.0 reads as a tie — an exact or
+            # near-equal mean must not be reported as trailing
+            verdict = ("BEATS" if ratio > 1.02
+                       else "TIES" if ratio > 0.98 else "TRAILS")
             lines.append(
                 f"- **{seq}**: ours {verdict} the reference on mean "
                 f"rmse — {mo*100:.1f} cm ({len(our_r)} runs) vs "

@@ -47,8 +47,12 @@ def draw_frustum(ax, c2w, color, scale=0.25):
 
 
 def load_run(output_dir):
-    """(est, gt, n, kf_ids, mesh) from a run's latest checkpoint; mesh is
-    (verts f32, tris i64, colors u8|None) or None."""
+    """(est, gt, n, kf_ids, mesh, selkf) from a run's latest checkpoint;
+    mesh is (verts f32, tris i64, colors u8|None) or None; selkf is the
+    per-mapping-event selected-window record written when
+    mapping.save_selected_keyframes_info is on (reference
+    Mapper.py:274-287 / Logger.py:30) — a list of
+    (event_frame, [window frame ids]) — or None."""
     from nice_slam_tpu.utils.checkpoint import latest_checkpoint
     from nice_slam_tpu.utils.plyio import read_ply
 
@@ -61,14 +65,21 @@ def load_run(output_dir):
         n = int(z["idx"]) or len(est)
         kf_ids = (z["extra/kf_frame_ids"].astype(int)
                   if "extra/kf_frame_ids" in z.files else np.zeros(0, int))
+        selkf = None
+        if "extra/selkf_event_idx" in z.files:
+            selkf = [(int(i), [int(f) for f in row if f >= 0])
+                     for i, row in zip(z["extra/selkf_event_idx"],
+                                       z["extra/selkf_frames"])]
     mesh_path = os.path.join(output_dir, "mesh", "final_mesh.ply")
     mesh = read_ply(mesh_path) if os.path.exists(mesh_path) else None
-    return est, gt, n, kf_ids, mesh
+    return est, gt, n, kf_ids, mesh, selkf
 
 
 def write_html(output_dir: str, out_path: str, max_faces: int = 150000):
     """Self-contained interactive WebGL replay (see module docstring)."""
-    est, gt, n, kf_ids, mesh = load_run(output_dir)
+    import html as html_mod
+
+    est, gt, n, kf_ids, mesh, selkf = load_run(output_dir)
 
     def b64(arr, dtype):
         return base64.b64encode(
@@ -80,12 +91,22 @@ def write_html(output_dir: str, out_path: str, max_faces: int = 150000):
         "gt": b64(gt[:n].reshape(n, 16), np.float32),
         "kf": [int(k) for k in kf_ids if k < n],
     }
+    if selkf:
+        data["selkf"] = [[i, [f for f in fr if f < n]]
+                         for i, fr in selkf if i < n]
     if mesh is not None and len(mesh[1]):
         verts, tris, colors = mesh
         if len(tris) > max_faces:  # keep the file browser-friendly
             sel = np.random.RandomState(0).choice(
                 len(tris), max_faces, replace=False)
             tris = tris[sel]
+            # compact to the referenced vertices, or the full vertex and
+            # color arrays still dominate the file size
+            used, inv = np.unique(tris.reshape(-1), return_inverse=True)
+            tris = inv.reshape(-1, 3)
+            verts = verts[used]
+            if colors is not None:
+                colors = colors[used]
         data["mesh_v"] = b64(verts, np.float32)
         data["mesh_i"] = b64(tris, np.uint32)
         if colors is not None:
@@ -100,8 +121,12 @@ def write_html(output_dir: str, out_path: str, max_faces: int = 150000):
                             "viewer_template.html")
     with open(tpl_path) as f:
         tpl = f.read()
-    html = tpl.replace("__TITLE__", os.path.basename(
-        os.path.abspath(output_dir))).replace("__DATA__", json.dumps(data))
+    # __DATA__ first, then the escaped title: a run-dir basename
+    # containing markup (or the literal "__DATA__") must not corrupt
+    # the substitution
+    html = tpl.replace("__DATA__", json.dumps(data)).replace(
+        "__TITLE__", html_mod.escape(os.path.basename(
+            os.path.abspath(output_dir))))
     with open(out_path, "w") as f:
         f.write(html)
     print(f"wrote interactive viewer {out_path} "
@@ -131,7 +156,7 @@ def main():
     import matplotlib.pyplot as plt
     from matplotlib import animation
 
-    est, gt, n, kf_ids, mesh = load_run(args.output_dir)
+    est, gt, n, kf_ids, mesh, selkf = load_run(args.output_dir)
     mesh_pts = None
     if mesh is not None and len(mesh[0]):
         verts = mesh[0]
@@ -155,12 +180,23 @@ def main():
         draw_frustum(ax, est[m - 1], "tab:red")
         if np.isfinite(gt[m - 1]).all():
             draw_frustum(ax, gt[m - 1], "gray")
-        # keyframe graph: inserted keyframes + their links to the current
-        # camera (the BA window connectivity)
+        # keyframe graph: inserted keyframes + window links.  With the
+        # selected-keyframes record (save_selected_keyframes_info) the
+        # links show the ACTUAL optimization window of the latest mapping
+        # event; otherwise fall back to generic links to the current
+        # camera.
         kfs = kf_ids[kf_ids < m]
         if len(kfs):
             ax.scatter(*est[kfs][:, :3, 3].T, color="tab:green", s=25,
                        marker="^", label="keyframes")
+        ev = ([e for e in selkf if e[0] < m] if selkf else None)
+        if ev:
+            e_idx, e_frames = ev[-1]
+            for f_id in e_frames:
+                seg = np.stack([est[f_id, :3, 3], est[e_idx, :3, 3]])
+                ax.plot(*seg.T, color="tab:orange", linewidth=0.6,
+                        alpha=0.6)
+        else:
             for k_id in kfs:
                 seg = np.stack([est[k_id, :3, 3], est[m - 1, :3, 3]])
                 ax.plot(*seg.T, color="tab:green", linewidth=0.4,
