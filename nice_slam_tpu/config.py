@@ -173,6 +173,18 @@ DEFAULTS: Dict[str, Any] = {
         "mesh_shape": None,            # e.g. [8] -> ('data',) mesh
         "keyframe_capacity": None,     # default: n_img//keyframe_every + 4
         "render_chunk": 16384,
+        # loose/free lagged-group fusion (mapping.lagged_track_map_group):
+        # None = auto (TPU-class backends only — it exists to amortize
+        # RPC round trips); true/false forces it (tests force true on
+        # CPU for the bit-parity assertion)
+        "fuse_lagged": None,
+        # grouped strict/lagged loops: barrier once per K fused group
+        # dispatches instead of per group.  The schedule is deterministic
+        # (no host decision needs a result between groups), so queueing
+        # K-1 programs is safe and amortizes the remote backend's
+        # ~17 ms barrier-fetch RPC (measured +9% fps at K=4, BENCH_r05).
+        # 1 = barrier every group (round-4 behavior).
+        "barrier_every_groups": 4,
     },
 }
 

@@ -84,6 +84,22 @@ class SlamEngine:
         self.lr_factor = m["lr_factor"]
         self.lr_first_factor = m["lr_first_factor"]
         self.color_refine = m["color_refine"]
+        # per-event selected-keyframe-window record (the reference's
+        # save_selected_keyframes_info, src/Mapper.py:74-76,274-287 +
+        # Logger.py:30): {event frame idx -> (W,) frame-id array,
+        # -2 = empty slot}.  Values stay lazy device handles until a
+        # checkpoint fetches them (no extra RPC in the loop).
+        self.save_selected_kf = bool(
+            m.get("save_selected_keyframes_info", False))
+        self.selected_keyframes = {}
+        # XLA cost-analysis capture for the hot dispatches (bench.py MFU):
+        # off by default — capturing lowers+compiles each graph once more
+        # (served by the persistent compile cache, but still an RPC)
+        self.capture_cost = False
+        self.cost_analyses = {}
+        # executions per hot-dispatch name (same keys as cost_analyses);
+        # bench.py resets this at the start of its measured segment
+        self.dispatch_counts = {}
         self.gt_camera = cfg["tracking"]["gt_camera"]
         # strict: map frame k*every right after tracking it (the reference
         # schedule, SURVEY §3.5).  loose: the reference lets the mapper lag
@@ -99,10 +115,25 @@ class SlamEngine:
                         "free": self.every_frame}.get(sync, 0)
         self.grouped_tracking = bool(
             cfg["tpu"].get("grouped_tracking", True))
+        # barrier once per K fused group dispatches (see config.py tpu.
+        # barrier_every_groups; the deterministic schedule makes the
+        # intermediate barriers pure RPC overhead)
+        self.barrier_every_groups = int(
+            cfg["tpu"].get("barrier_every_groups", 4))
         # fuse each frame group's tracking scan into its mapping-event
         # dispatch (mapping.track_map_group) — bit-identical, one fewer
         # dispatch+barrier per group; off only for A/B testing
         self.fuse_track_map = bool(cfg["tpu"].get("fuse_track_map", True))
+        # fuse the loose/free lagged group schedule into ONE dispatch
+        # (mapping.lagged_track_map_group).  Default: only on TPU-class
+        # backends — the fusion exists to amortize RPC round trips, which
+        # CPU doesn't have, and the giant CPU-compiled program tickles an
+        # XLA:CPU persistent-cache deserialization abort in long test
+        # processes (round 5; bit-parity with the unfused path is still
+        # asserted on CPU by forcing tpu.fuse_lagged true).
+        fl = cfg["tpu"].get("fuse_lagged")
+        self.fuse_lagged = (jax.default_backend() in ("tpu", "axon")
+                            if fl is None else bool(fl))
         # device-mesh mapping modes: tpu.data_parallel (1D ray sharding,
         # parallel/data_parallel.py) or tpu.grid_sharded: [n_data, n_model]
         # (2D rays x halo-exchanged grid slabs, parallel/grid_sharded.py).
@@ -408,6 +439,14 @@ class SlamEngine:
             k1, self.store, color_f, depth, cur_c2w,
             self.map_state.grids, self.bound, s.camera, mapspec, ba,
             s.model.coarse_bound_enlarge)
+        if self.save_selected_kf:
+            # same record as mapping_step's sel_frames output
+            self.selected_keyframes[idx] = jnp.where(
+                window["valid"],
+                jnp.where(window["slots"] >= 0,
+                          self.store.frame_idx[
+                              jnp.maximum(window["slots"], 0)], idx),
+                -2).astype(jnp.int32)
         tree = {"params": self.map_state.params,
                 "grids": self.map_state.grids, "cams": cams0}
         opt = adam_init(tree)
@@ -445,6 +484,26 @@ class SlamEngine:
 
     # -- mapping -----------------------------------------------------------
 
+    def _maybe_capture_cost(self, name: str, jitfn, args, kw):
+        """Record the XLA cost analysis (flops / bytes accessed) of a hot
+        dispatch, once per name, when capture_cost is on (bench.py's MFU
+        accounting).  Lowering happens BEFORE the real call so donated
+        buffers are still alive; the AOT compile is served by the
+        persistent compile cache."""
+        if not self.capture_cost or name in self.cost_analyses:
+            return
+        try:
+            c = jitfn.lower(*args, **kw).compile().cost_analysis()
+            if isinstance(c, (list, tuple)):
+                c = c[0] if c else {}
+            self.cost_analyses[name] = {
+                "flops": float(c.get("flops", float("nan"))),
+                "bytes_accessed": float(c.get("bytes accessed",
+                                              float("nan"))),
+            }
+        except Exception as e:  # cost analysis is best-effort diagnostics
+            self.cost_analyses[name] = {"error": repr(e)}
+
     @staticmethod
     def _stage_iters_of(mapspec, num_joint_iters: int):
         it = mapspec.stage_iters(num_joint_iters)
@@ -458,69 +517,111 @@ class SlamEngine:
                  insert_kf: bool = False, gt_pose=None,
                  coarse_spec=None, coarse_iters: int = 0,
                  coarse_lr_factor: float = 1.0,
-                 track_group_start: Optional[int] = None):
+                 track_group_start: Optional[int] = None,
+                 lagged_track=None):
         """One mapping optimization: keyframe selection, frustum masks,
         staged optimization and BA pose write-back fused into a single
         dispatch (mapping.mapping_step).  With insert_kf/coarse_spec the
         keyframe insertion and the whole coarse-mapper optimization ride
         the SAME dispatch (one barrier per mapping event); with
         track_group_start the frame group's tracking scan rides it too
-        (mapping.track_map_group)."""
+        (mapping.track_map_group); with lagged_track=(cur, idx_e, g_end,
+        colors, depths) the loose/free-mode group schedule — track
+        [cur, idx_e], this lagged mapping event (frame idx from the
+        color/depth args = the PREVIOUS group's stack), track
+        [idx_e+1, g_end] — rides ONE dispatch
+        (mapping.lagged_track_map_group)."""
         s = self.specs
         stage_iters = self._stage_iters_of(mapspec, num_joint_iters)
         coarse_stage_iters = (self._stage_iters_of(coarse_spec, coarse_iters)
                               if coarse_spec is not None else ())
 
         t0 = time.perf_counter()
-        if track_group_start is not None:
+        kw = dict(
+            insert_kf=insert_kf,
+            gt_pose=(jnp.asarray(gt_pose, jnp.float32) if insert_kf
+                     else None),
+            coarse_spec=coarse_spec,
+            coarse_stage_iters=coarse_stage_iters,
+            coarse_lr_factor=float(coarse_lr_factor))
+        if lagged_track is not None:
+            from nice_slam_tpu.mapping import lagged_track_map_group
+
+            l_cur, l_idx_e, l_g_end, l_colors, l_depths = lagged_track
+            split = l_idx_e - l_cur + 1
+            step_a = self._next_step()
+            step_map = self._next_step()
+            # step_b consumed only when a tail segment exists — keeps the
+            # RNG stream identical to the unfused three-dispatch path
+            step_b = self._next_step() if l_idx_e < l_g_end else 0
+            args = (self.map_state.params, self.map_state.grids, self.bound,
+                    self.store, self._est_dev, l_cur, l_colors, l_depths,
+                    color, depth, idx, frame_sel, split, step_a, step_map,
+                    step_b, float(lr_factor), self._key_base, s.camera,
+                    s.track, stage_iters, mapspec, s.render, s.model, ba,
+                    s.model.coarse_bound_enlarge, self.mesh)
+            self._maybe_capture_cost("lagged_track_map_group",
+                                     lagged_track_map_group, args, kw)
+            self.dispatch_counts["lagged_track_map_group"] = \
+                self.dispatch_counts.get("lagged_track_map_group", 0) + 1
+            (self.map_state.params, self.map_state.grids, self.store,
+             self._est_dev, tl_a, tl_b, losses, sel) = \
+                lagged_track_map_group(*args, **kw)
+            self.tracking_stats.append(
+                {"idxs": list(range(l_cur, l_idx_e + 1)), "arr": tl_a})
+            if tl_b is not None:
+                self.tracking_stats.append(
+                    {"idxs": list(range(l_idx_e + 1, l_g_end + 1)),
+                     "arr": tl_b})
+        elif track_group_start is not None:
             from nice_slam_tpu.mapping import track_map_group
 
             track_step_no = self._next_step()
+            args = (self.map_state.params, self.map_state.grids, self.bound,
+                    self.store, self._est_dev, track_group_start, color,
+                    depth, track_step_no, self._next_step(), frame_sel,
+                    float(lr_factor), self._key_base, s.camera, s.track,
+                    stage_iters, mapspec, s.render, s.model, ba,
+                    s.model.coarse_bound_enlarge, self.mesh)
+            self._maybe_capture_cost("track_map_group", track_map_group,
+                                     args, kw)
+            self.dispatch_counts["track_map_group"] = \
+                self.dispatch_counts.get("track_map_group", 0) + 1
             (self.map_state.params, self.map_state.grids, self.store,
-             self._est_dev, tlosses, losses) = track_map_group(
-                self.map_state.params, self.map_state.grids, self.bound,
-                self.store, self._est_dev, track_group_start, color, depth,
-                track_step_no, self._next_step(), frame_sel,
-                float(lr_factor), self._key_base, s.camera, s.track,
-                stage_iters, mapspec, s.render, s.model, ba,
-                s.model.coarse_bound_enlarge, self.mesh,
-                insert_kf=insert_kf,
-                gt_pose=(jnp.asarray(gt_pose, jnp.float32) if insert_kf
-                         else None),
-                coarse_spec=coarse_spec,
-                coarse_stage_iters=coarse_stage_iters,
-                coarse_lr_factor=float(coarse_lr_factor))
+             self._est_dev, tlosses, losses, sel) = track_map_group(
+                *args, **kw)
             self.tracking_stats.append(
                 {"idxs": list(range(track_group_start, idx + 1)),
                  "arr": tlosses})
         else:
+            args = (self.map_state.params, self.map_state.grids, self.bound,
+                    self.store, self._est_dev, idx, color, depth, frame_sel,
+                    float(lr_factor), self._key_base, self._next_step(),
+                    s.camera, stage_iters, mapspec, s.render, s.model, ba,
+                    s.model.coarse_bound_enlarge, self.mesh)
+            nm = "coarse_mapping_step" if coarse else "mapping_step"
+            self._maybe_capture_cost(nm, mapping_step, args, kw)
+            self.dispatch_counts[nm] = self.dispatch_counts.get(nm, 0) + 1
             (self.map_state.params, self.map_state.grids, self.store,
-             self._est_dev, losses) = mapping_step(
-                self.map_state.params, self.map_state.grids, self.bound,
-                self.store, self._est_dev, idx, color, depth, frame_sel,
-                float(lr_factor), self._key_base, self._next_step(),
-                s.camera, stage_iters, mapspec, s.render, s.model, ba,
-                s.model.coarse_bound_enlarge, self.mesh,
-                insert_kf=insert_kf,
-                gt_pose=(jnp.asarray(gt_pose, jnp.float32) if insert_kf
-                         else None),
-                coarse_spec=coarse_spec,
-                coarse_stage_iters=coarse_stage_iters,
-                coarse_lr_factor=float(coarse_lr_factor))
+             self._est_dev, losses, sel) = mapping_step(*args, **kw)
+        if self.save_selected_kf and not coarse:
+            self.selected_keyframes[idx] = sel  # lazy handle
         # fresh-buffer fetch = reliable step barrier (see track()); the
         # pipelined engine disables it so its mapping events overlap the
         # next tracking group on the other device
         if self._map_barrier:
             np.asarray(jax.device_get(losses))
         bucket = ("coarse_map" if coarse
-                  else "track+map" if track_group_start is not None
+                  else "track+map" if (track_group_start is not None
+                                       or lagged_track is not None)
                   else "map")
         self.timings[bucket] += time.perf_counter() - t0
         return losses
 
     def mapping_event(self, idx: int, color, depth, gt_pose,
                       first: bool = False, frame_sel: int = 0,
-                      track_group_start: Optional[int] = None) -> None:
+                      track_group_start: Optional[int] = None,
+                      lagged_track=None) -> None:
         """One mapping wake-up: fine mapper (+BA, keyframe insertion,
         checkpoint/mesh hooks) and the coarse mapper.  color/depth may be
         a stacked frame group with `frame_sel` picking the frame in-jit.
@@ -529,7 +630,13 @@ class SlamEngine:
         [track_group_start, idx] FIRST, fused into the SAME dispatch as
         the mapping event (mapping.track_map_group) — one dispatch + one
         barrier per frame group instead of two of each.  Bit-identical to
-        the separate track-then-map dispatches (same RNG streams)."""
+        the separate track-then-map dispatches (same RNG streams).
+
+        lagged_track (loose/free fast path, see map_once): the group's
+        two tracking segments ride the same dispatch AROUND this lagged
+        event (mapping.lagged_track_map_group).  The caller
+        (_grouped_lagged_step) guarantees the common single-pass branch
+        applies."""
         final = idx == self.n_img - 1
         mapspec = self.specs.mapper
 
@@ -562,6 +669,10 @@ class SlamEngine:
             and self._map_inside_vis.frame_selected(idx)
             and not (first and self.cfg["mapping"].get(
                 "no_vis_on_first_frame", True)))
+        # the fused lagged dispatch embeds the group's tracking — it must
+        # not silently fall into a branch that skips it
+        assert lagged_track is None or (outer == 1 and not use_inside), \
+            "lagged_track requires the single-pass mapping branch"
         if use_inside:
             # per-iteration mapping vis: segmented optimization (debug
             # path; see _map_event_inside_vis)
@@ -606,7 +717,8 @@ class SlamEngine:
                 coarse_iters=self.iters_first if first else self.iters,
                 coarse_lr_factor=(self.lr_first_factor if first
                                   else self.lr_factor),
-                track_group_start=track_group_start)
+                track_group_start=track_group_start,
+                lagged_track=lagged_track)
             if want_insert:
                 self.kf_frame_ids.append(idx)
         else:
@@ -781,12 +893,16 @@ class SlamEngine:
         from nice_slam_tpu.tracking import track_frames_group
 
         s = self.specs
-        self._est_dev, losses = track_frames_group(
-            self.map_state.params if params is None else params,
-            self.map_state.grids if grids is None else grids,
-            self.bound, self._est_dev, cur, colors, depths,
-            self._key_base, self._next_step(), s.camera, s.track,
-            s.render, s.model)
+        args = (self.map_state.params if params is None else params,
+                self.map_state.grids if grids is None else grids,
+                self.bound, self._est_dev, cur, colors, depths,
+                self._key_base, self._next_step(), s.camera, s.track,
+                s.render, s.model)
+        self._maybe_capture_cost("track_frames_group", track_frames_group,
+                                 args, {})
+        self.dispatch_counts["track_frames_group"] = \
+            self.dispatch_counts.get("track_frames_group", 0) + 1
+        self._est_dev, losses = track_frames_group(*args)
         self.tracking_stats.append(
             {"idxs": list(range(cur, g_end + 1)), "arr": losses})
         return losses
@@ -852,6 +968,7 @@ class SlamEngine:
                 bar.update(1)
 
         prev = None  # previous group's stack, retained for lagged events
+        ksaved = self._map_barrier
         try:
             for gi, (cur, g_end) in enumerate(bounds):
                 if fut is not None:
@@ -863,6 +980,17 @@ class SlamEngine:
                     colors, depths, gts = self._load_frames_stacked(
                         cur, g_end)
                 self.gt_c2w[cur:g_end + 1] = gts
+
+                # K-group barrier policy (tpu.barrier_every_groups): the
+                # schedule is deterministic, so only every Kth fused
+                # dispatch needs the end-of-group barrier fetch — the
+                # others queue behind it (amortizes the remote backend's
+                # ~17 ms barrier RPC; measured +9% fps at K=4).  The
+                # final group and hook-bearing events always barrier
+                # (mapping_event's save() does its own fresh-op fetch).
+                k = max(self.barrier_every_groups, 1)
+                self._map_barrier = ksaved and (
+                    gi % k == k - 1 or gi == len(bounds) - 1)
 
                 if self.map_lag > 0:
                     self._grouped_lagged_step(cur, g_end, colors, depths,
@@ -892,6 +1020,7 @@ class SlamEngine:
                 if bar:
                     bar.update(g_end + 1 - cur)
         finally:
+            self._map_barrier = ksaved
             if pool is not None:
                 pool.shutdown(wait=False)
         if bar:
@@ -919,6 +1048,26 @@ class SlamEngine:
         has_event = (m > 0 and m % self.every_frame == 0
                      and cur <= idx_e <= g_end
                      and not (final and idx_e == n - 1))
+        # fused fast path: the whole lagged group (track A, mapping
+        # event, track B) in ONE dispatch + ONE barrier
+        # (mapping.lagged_track_map_group) — bit-identical RNG streams.
+        # Gated to the guaranteed single-pass mapping branch; the
+        # three-dispatch path below remains the reference implementation
+        # (and the fallback after a mid-group resume, where the lagged
+        # frame's stack is gone).
+        if (has_event and prev is not None and self.fuse_track_map
+                and self.fuse_lagged and self.mesh is None
+                and self.specs.mapper.nice
+                and self._map_inside_vis is None):
+            p_cur, p_colors, p_depths, p_gts = prev
+            self.mapping_event(m, p_colors, p_depths, p_gts[m - p_cur],
+                               frame_sel=m - p_cur,
+                               lagged_track=(cur, idx_e, g_end,
+                                             colors, depths))
+            if final:
+                self.mapping_event(g_end, colors, depths, gts[-1],
+                                   frame_sel=g_end - cur)
+            return
         t0 = time.perf_counter()
         if has_event:
             lo = idx_e - cur             # split point within the stack
@@ -967,11 +1116,27 @@ class SlamEngine:
         leaves = (jax.tree.leaves(self.map_state.grids)
                   or jax.tree.leaves(self.map_state.params))  # iMAP: no grids
         np.asarray(jax.device_get(jnp.sum(leaves[0][:1])))
+        extra = {"kf_frame_ids": np.asarray(self.kf_frame_ids, np.int64)}
+        if self.selected_keyframes:
+            # fetch the lazy per-event window records once, ragged-pad to
+            # the widest window (color refine doubles it), cache as numpy
+            ev = sorted(self.selected_keyframes)
+            rows = []
+            for i in ev:
+                r = np.asarray(jax.device_get(self.selected_keyframes[i]),
+                               np.int64)
+                self.selected_keyframes[i] = r
+                rows.append(r)
+            w = max(r.shape[0] for r in rows)
+            mat = np.full((len(rows), w), -2, np.int64)
+            for r_i, r in enumerate(rows):
+                mat[r_i, : r.shape[0]] = r
+            extra["selkf_event_idx"] = np.asarray(ev, np.int64)
+            extra["selkf_frames"] = mat
         save_checkpoint(
             path, self.map_state.params, self.map_state.grids,
             self.bound, self.est_c2w, self.gt_c2w, self.store,
-            self.frames_done,
-            extra={"kf_frame_ids": np.asarray(self.kf_frame_ids, np.int64)})
+            self.frames_done, extra=extra)
 
     def resume(self, path: str):
         from nice_slam_tpu.utils.checkpoint import load_checkpoint
@@ -993,6 +1158,11 @@ class SlamEngine:
                 count=jnp.asarray(kf["count"]),
             )
         self.kf_frame_ids = list(ck["extra"]["kf_frame_ids"])
+        if "selkf_event_idx" in ck["extra"]:
+            self.selected_keyframes = {
+                int(i): row for i, row in
+                zip(ck["extra"]["selkf_event_idx"],
+                    ck["extra"]["selkf_frames"])}
         self.frames_done = ck["idx"]
         return self
 

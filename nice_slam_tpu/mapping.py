@@ -489,6 +489,18 @@ def _one_map_optimize(params, grids, bound, store, est_buf, idx, color,
     window, masks, cams0, cam_lr_mask = prepare_mapping(
         k1, store, color, depth, cur_c2w, grids, bound, camera, mapspec,
         ba, coarse_bound_enlarge)
+    # per-event selected-window record (save_selected_keyframes_info,
+    # reference Mapper.py:274-287): frame id per window slot, current
+    # frame included, -2 = empty slot.  Computed from the pre-BA store so
+    # it reflects what was SELECTED, and returned so the engine can
+    # checkpoint it (src/utils/Logger.py:21-32 parity) with no extra
+    # dispatch.
+    sel_frames = jnp.where(
+        window["valid"],
+        jnp.where(window["slots"] >= 0,
+                  store.frame_idx[jnp.maximum(window["slots"], 0)],
+                  idx),
+        -2).astype(jnp.int32)
     if (mesh is not None and "model" in mesh.axis_names
             and mapspec.nice and not mapspec.coarse_mapper):
         # grid-sharded (scene-scale) step: grids in halo-exchanged X-slabs
@@ -521,7 +533,7 @@ def _one_map_optimize(params, grids, bound, store, est_buf, idx, color,
         store = update_poses(store, jnp.maximum(window["slots"], 0),
                              new_c2w, kf_mask)
         est_buf = est_buf.at[idx].set(new_c2w[-1])
-    return params, grids, store, est_buf, losses
+    return params, grids, store, est_buf, losses, sel_frames
 
 
 @partial(jax.jit, static_argnames=("camera", "stage_iters", "mapspec",
@@ -558,7 +570,9 @@ def mapping_step(params, grids, bound, store, est_buf, idx, color, depth,
     -> coarse map (the coarse mapper sees the post-BA poses and the
     freshly inserted keyframe, exactly like the sequential path).
 
-    Returns (params, grids, store, est_buf, losses)."""
+    Returns (params, grids, store, est_buf, losses, sel_frames) —
+    sel_frames is the fine mapper's selected-window frame-id record
+    (save_selected_keyframes_info; reference Mapper.py:274-287)."""
     from nice_slam_tpu.keyframes import add_keyframe_impl
 
     key = jax.random.fold_in(key, step_no)
@@ -570,7 +584,7 @@ def mapping_step(params, grids, bound, store, est_buf, idx, color, depth,
     # the fine branch consumes `key` exactly as the standalone step did
     # (bit-identical streams); the coarse branch folds a fresh tag
     k_coarse = jax.random.fold_in(key, 0x0C)
-    params, grids, store, est_buf, losses = _one_map_optimize(
+    params, grids, store, est_buf, losses, sel_frames = _one_map_optimize(
         params, grids, bound, store, est_buf, idx, color, depth, lr_factor,
         key, camera, stage_iters, mapspec, rspec, mspec, ba,
         coarse_bound_enlarge, mesh)
@@ -581,11 +595,11 @@ def mapping_step(params, grids, bound, store, est_buf, idx, color, depth,
         store = add_keyframe_impl(store, color, depth, est_buf[idx],
                                   gt_pose, idx)
     if coarse_spec is not None:
-        params, grids, store, est_buf, _ = _one_map_optimize(
+        params, grids, store, est_buf, _, _ = _one_map_optimize(
             params, grids, bound, store, est_buf, idx, color, depth,
             coarse_lr_factor, k_coarse, camera, coarse_stage_iters,
             coarse_spec, rspec, mspec, False, coarse_bound_enlarge, mesh)
-    return params, grids, store, est_buf, losses
+    return params, grids, store, est_buf, losses, sel_frames
 
 
 @partial(jax.jit, static_argnames=("camera", "tspec", "stage_iters",
@@ -618,20 +632,78 @@ def track_map_group(params, grids, bound, store, est_buf, idx0, colors,
     tests/test_slam.py).
 
     Returns (params, grids, store, est_buf, track_losses (G, 3),
-    map_losses)."""
+    map_losses, sel_frames)."""
     from nice_slam_tpu.tracking import track_frames_group
 
     est_buf, track_losses = track_frames_group(
         params, grids, bound, est_buf, idx0, colors, depths, key,
         track_step_no, camera, tspec, rspec, mspec)
-    params, grids, store, est_buf, map_losses = mapping_step(
+    params, grids, store, est_buf, map_losses, sel_frames = mapping_step(
         params, grids, bound, store, est_buf, idx0 + frame_sel, colors,
         depths, frame_sel, lr_factor, key, map_step_no, camera,
         stage_iters, mapspec, rspec, mspec, ba, coarse_bound_enlarge,
         mesh, insert_kf=insert_kf, gt_pose=gt_pose, coarse_spec=coarse_spec,
         coarse_stage_iters=coarse_stage_iters,
         coarse_lr_factor=coarse_lr_factor)
-    return params, grids, store, est_buf, track_losses, map_losses
+    return params, grids, store, est_buf, track_losses, map_losses, sel_frames
+
+
+@partial(jax.jit, static_argnames=("split", "camera", "tspec",
+                                   "stage_iters", "mapspec", "rspec",
+                                   "mspec", "ba", "coarse_bound_enlarge",
+                                   "mesh", "insert_kf", "coarse_spec",
+                                   "coarse_stage_iters"),
+         donate_argnums=(0, 1, 3, 4))
+def lagged_track_map_group(params, grids, bound, store, est_buf, cur,
+                           colors, depths, prev_colors, prev_depths,
+                           map_idx, prev_sel, split, step_a, step_map,
+                           step_b, lr_factor, key, camera: Camera, tspec,
+                           stage_iters: Tuple[Tuple[str, int], ...],
+                           mapspec: MapSpec, rspec: RenderSpec,
+                           mspec: ModelSpec, ba: bool,
+                           coarse_bound_enlarge: int = 2, mesh=None,
+                           insert_kf: bool = False, gt_pose=None,
+                           coarse_spec: MapSpec = None,
+                           coarse_stage_iters: Tuple[Tuple[str, int],
+                                                     ...] = (),
+                           coarse_lr_factor=1.0):
+    """One loose/free-mode frame group in ONE dispatch: track frames
+    [cur, cur+split-1] against the stale map, run the lagged mapping
+    event for frame `map_idx` (whose image lives at prev_sel in the
+    PREVIOUS group's stack prev_colors/prev_depths — already device-
+    resident, so passing it costs nothing), then track the rest of the
+    group against the fresh map.
+
+    The lag is deterministic (engine.map_lag), so the split point is a
+    STATIC argument and the whole three-step schedule of
+    engine._grouped_lagged_step collapses to one dispatch + one barrier
+    — the same fusion trick track_map_group plays for strict mode
+    (reference loose semantics: Tracker.py:168-175, the tracker runs
+    ahead of the mapper by a bounded lag).  RNG: the three sub-steps
+    fold step_a/step_map/step_b exactly like the three standalone
+    dispatches, so the computation is bit-identical to the unfused
+    lagged path (asserted in tests/test_slam.py).
+
+    Returns (params, grids, store, est_buf, track_losses_a (split, 3),
+    track_losses_b (G-split, 3) | None, map_losses, sel_frames)."""
+    from nice_slam_tpu.tracking import track_frames_group
+
+    est_buf, tl_a = track_frames_group(
+        params, grids, bound, est_buf, cur, colors[:split],
+        depths[:split], key, step_a, camera, tspec, rspec, mspec)
+    params, grids, store, est_buf, map_losses, sel = mapping_step(
+        params, grids, bound, store, est_buf, map_idx, prev_colors,
+        prev_depths, prev_sel, lr_factor, key, step_map, camera,
+        stage_iters, mapspec, rspec, mspec, ba, coarse_bound_enlarge,
+        mesh, insert_kf=insert_kf, gt_pose=gt_pose,
+        coarse_spec=coarse_spec, coarse_stage_iters=coarse_stage_iters,
+        coarse_lr_factor=coarse_lr_factor)
+    tl_b = None
+    if split < colors.shape[0]:  # free mode: the event ends the group
+        est_buf, tl_b = track_frames_group(
+            params, grids, bound, est_buf, cur + split, colors[split:],
+            depths[split:], key, step_b, camera, tspec, rspec, mspec)
+    return params, grids, store, est_buf, tl_a, tl_b, map_losses, sel
 
 
 def refresh_occ_proxy(params, grids, bound, mspec: ModelSpec):

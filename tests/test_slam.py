@@ -35,6 +35,7 @@ TEST_CFG = {
         "ckpt_freq": 10000,
         "mesh_freq": 10000,
         "color_refine": False,
+        "save_selected_keyframes_info": True,
     },
     "tracking": {"iters": 8, "pixels": 200, "ignore_edge_W": 5,
                  "ignore_edge_H": 5},
@@ -66,6 +67,24 @@ class TestEndToEnd:
         assert len(engine.kf_frame_ids) >= 2
         assert 0 in engine.kf_frame_ids
 
+    def test_selected_keyframes_recorded(self, engine):
+        """save_selected_keyframes_info records the per-event window
+        (reference Mapper.py:274-287): one entry per mapping event,
+        containing the event frame itself, with -2 marking empty slots."""
+        sel = {i: np.asarray(jax.device_get(v))
+               for i, v in engine.selected_keyframes.items()}
+        # mapping events fire at every_frame boundaries (0, 4, 8)
+        assert set(sel) == {0, 4, 8}, sorted(sel)
+        for idx, row in sel.items():
+            assert row.dtype.kind == "i"
+            assert idx in row.tolist(), (idx, row)
+            valid = row[row >= 0]
+            # window frames are tracked frames at/before the event
+            assert (valid <= idx).all(), (idx, row)
+            # selected keyframes must be actual inserted keyframes
+            for f in valid:
+                assert f == idx or f in engine.kf_frame_ids, (idx, row)
+
     def test_mapping_learned_geometry(self, engine):
         """Rendered depth at a GT pose should approximate sensor depth."""
         from nice_slam_tpu.render import render_image
@@ -92,6 +111,39 @@ class TestEndToEnd:
         g2 = jax.device_get(eng2.map_state.grids["middle"])
         np.testing.assert_allclose(g1, g2)
         assert eng2.kf_frame_ids == engine.kf_frame_ids
+        # selected-keyframes record round-trips (Logger.py:30 parity)
+        assert set(eng2.selected_keyframes) == set(engine.selected_keyframes)
+        for i, row in engine.selected_keyframes.items():
+            np.testing.assert_array_equal(
+                np.asarray(eng2.selected_keyframes[i]),
+                np.asarray(jax.device_get(row)))
+
+
+class TestForecastMeshing:
+    def test_coarse_level_forecast_mesh(self, engine, tmp_path):
+        """mesh_coarse_level (show_forecast) end-to-end on a trained
+        engine state: restricting visibility to the first two keyframes
+        leaves part of the mapped scene unseen-but-inside-hull; those
+        regions must appear in the mesh from the coarse completion level
+        and be painted cyan (reference Mesher.py:386-418, 559-565)."""
+        from nice_slam_tpu.utils.mesher import MeshSpec, extract_mesh
+
+        spec = MeshSpec(resolution=48, forecast=True, color=True,
+                        clean_mesh=True, depth_test=False)
+        out = str(tmp_path / "forecast.ply")
+        v, t, c = extract_mesh(
+            engine.map_state.params, engine.specs.model,
+            engine.map_state.grids, engine.bound,
+            engine.cfg["mapping"]["marching_cubes_bound"],
+            engine.specs.camera, spec,
+            kf_c2w=engine.store.est_c2w, kf_depth=engine.store.depths,
+            n_keyframes=2, out_path=out)
+        assert len(v) and len(t) and c is not None
+        cyan = (c == np.array([0, 255, 255], np.uint8)).all(axis=1)
+        assert 0 < cyan.sum() < len(v), (
+            f"{cyan.sum()}/{len(v)} forecast vertices")
+        import os
+        assert os.path.exists(out)
 
 
 class TestTrackingConvergence:
@@ -287,6 +339,35 @@ class TestFusedTrackMapParity:
         np.testing.assert_array_equal(results[True][2], results[False][2])
 
 
+class TestLaggedFusedParity:
+    @pytest.mark.parametrize("sync", ["loose", "free"])
+    def test_lagged_fused_bit_identical(self, sync):
+        """The fused loose/free group dispatch
+        (mapping.lagged_track_map_group: track A + lagged event + track B
+        in ONE program) must be BIT-identical to the three-dispatch
+        lagged path: same RNG stream consumption (step_b only when a
+        tail segment exists), same trajectory, same map."""
+        results = {}
+        for fuse in (True, False):
+            cfg = load_config(overrides={
+                **TEST_CFG, "sync_method": sync,
+                "synthetic": {"n_frames": 13},
+                # fuse_lagged True: force the fused path on CPU (it
+                # defaults to TPU-only backends)
+                "tpu": {"seed": 3, "fuse_track_map": fuse,
+                        "fuse_lagged": fuse},
+                "mapping": {**TEST_CFG["mapping"], "iters_first": 30,
+                            "iters": 8}})
+            eng = SlamEngine(
+                cfg, output=f"/tmp/nice_slam_tpu_lag{sync}{int(fuse)}")
+            eng.run()
+            results[fuse] = (eng.est_c2w,
+                             np.asarray(jax.device_get(
+                                 eng.map_state.grids["middle"])))
+        np.testing.assert_array_equal(results[True][0], results[False][0])
+        np.testing.assert_array_equal(results[True][1], results[False][1])
+
+
 class TestSyncModeSchedules:
     def _schedule(self, sync_method):
         """Record the (tracker_idx, mapped_idx) pairs a mode produces.
@@ -335,11 +416,16 @@ class TestGroupedLaggedSchedules:
     mid-group at the deterministic lag point."""
 
     def _events(self, sync_method, grouped, n_frames=13, every=5):
+        # fuse_track_map off: these tests pin the REFERENCE 3-dispatch
+        # interleaving (track A / lagged event / track B); the fused
+        # single-dispatch path is covered by TestLaggedFusedParity's
+        # bit-identity assertion instead
         cfg = load_config(overrides={
             **TEST_CFG, "sync_method": sync_method,
             "synthetic": {"n_frames": n_frames},
             "mapping": {**TEST_CFG["mapping"], "every_frame": every},
-            "tpu": {"seed": 0, "grouped_tracking": grouped},
+            "tpu": {"seed": 0, "grouped_tracking": grouped,
+                    "fuse_track_map": False},
             "tracking": {**TEST_CFG["tracking"], "iters": 2, "pixels": 60},
         })
         eng = SlamEngine(cfg, output="/tmp/nice_slam_tpu_sched2")
