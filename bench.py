@@ -30,7 +30,20 @@ Two defenses here:
      from scratch (retries are cheap: completed compiles persist in the
      persistent cache).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu",
+"hbm_utilization", "cost", ...}.  MFU accounting: the XLA cost analysis
+(flops / bytes accessed) of each measured dispatch is captured via
+`jitted.lower(...).compile().cost_analysis()` (engine.capture_cost) and
+multiplied by the dispatch execution counts of the measured segment;
+peaks per device kind in TPU_PEAKS.  See docs/PERF.md for the roofline
+reading.
+
+`--imap` benches the iMAP* mode instead, at the reference's iMAP budget
+(tracking 50 it x 5000 rays, mapping 300 it x 5000 rays every 5 frames,
+N_samples 32 + N_importance 12 — ref configs/imap.yaml; iters_first
+reduced to 300 here since first-frame cost is excluded from timing, and
+keyframe_every 5 instead of 50 so the measured segment contains no cold
+keyframe-insertion graph — insertion cost itself is negligible).
 """
 
 from __future__ import annotations
@@ -60,14 +73,37 @@ BASELINE_PROVENANCE = {
              "wall-clock reports on RTX-3090-class GPU",
 }
 
+# per-chip peaks by jax device_kind prefix: (bf16 FLOP/s, HBM bytes/s).
+# Sources: public TPU spec sheets / the jax-ml scaling book tables.
+# MFU is reported against the bf16 MXU peak — the hardware ceiling; the
+# engine's GEMMs run bf16-input/f32-accumulate ("default" matmul
+# precision), the rest of the pipeline f32.
+TPU_PEAKS = {
+    "TPU v5 lite": (197e12, 819e9),     # v5e
+    "TPU v5p": (459e12, 2765e9),
+    "TPU v4": (275e12, 1228e9),
+    "TPU v3": (123e12, 900e9),
+    "TPU v6 lite": (918e12, 1640e9),    # v6e / Trillium
+}
 
-def build_cfg(n_frames: int, sync: str = "strict"):
+
+def device_peaks():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for prefix, peaks in TPU_PEAKS.items():
+        if kind.startswith(prefix):
+            return kind, peaks
+    return kind, (None, None)
+
+
+def build_cfg(n_frames: int, sync: str = "strict", imap: bool = False):
     from nice_slam_tpu.config import load_config
 
     # dataset is one frame longer than the measured range: the engine's
     # final-frame path (checkpoint save + color refine) must not fire
     # inside the measured segment — it fetches the whole map state
-    return load_config(overrides={
+    overrides = {
         "sync_method": sync,
         "dataset": "synthetic",
         "synthetic": {"n_frames": n_frames + 1},
@@ -79,20 +115,30 @@ def build_cfg(n_frames: int, sync: str = "strict"):
             "bound": [[-0.5, 4.5], [-0.5, 3.5], [-0.5, 4.5]],
             "marching_cubes_bound": [[0.0, 4.0], [0.0, 3.0], [0.0, 4.0]],
             "every_frame": 5,
-            "iters": 60,
-            "iters_first": 60,   # first-frame cost excluded from timing
-            "pixels": 1000,
             "mapping_window_size": 5,
             "keyframe_every": 5,
             "ckpt_freq": 100000,
             "mesh_freq": 100000,
             "color_refine": False,
         },
-        "tracking": {"iters": 10, "pixels": 200,
-                     "ignore_edge_W": 100, "ignore_edge_H": 100},
-        "rendering": {"N_samples": 32, "N_surface": 16},
         "data": {"output": "/tmp/bench_out"},
-    })
+    }
+    if imap:
+        # reference iMAP* budget (configs/imap.yaml): tracking 50x5000,
+        # mapping 300x5000; iters_first shrunk (excluded from timing),
+        # keyframe_every 5 (see module docstring)
+        overrides["mapping"].update({"iters": 300, "iters_first": 300})
+        overrides["tracking"] = {"ignore_edge_W": 20, "ignore_edge_H": 20}
+    else:
+        overrides["mapping"].update({
+            "iters": 60,
+            "iters_first": 60,  # first-frame cost excluded from timing
+            "pixels": 1000,
+        })
+        overrides["tracking"] = {"iters": 10, "pixels": 200,
+                                 "ignore_edge_W": 100, "ignore_edge_H": 100}
+        overrides["rendering"] = {"N_samples": 32, "N_surface": 16}
+    return load_config(nice=not imap, overrides=overrides)
 
 
 def load_groups(eng, lo_first: int, n_frames: int):
@@ -112,7 +158,8 @@ def load_groups(eng, lo_first: int, n_frames: int):
     return groups
 
 
-def run_groups(eng, groups, n_frames: int, fused: bool):
+def run_groups(eng, groups, n_frames: int, fused: bool,
+               barrier_every: int = 1):
     """Drive pre-uploaded frame groups through the engine's grouped path.
     fused=True uses ONE dispatch per group (mapping.track_map_group) when
     the engine allows it (fuse_track_map on, no device mesh) — matching
@@ -134,15 +181,25 @@ def run_groups(eng, groups, n_frames: int, fused: bool):
         eng._bench_prev_group = prev
         return
 
-    for (lo, hi, colors, depths, gts) in groups:
+    for g_i, (lo, hi, colors, depths, gts) in enumerate(groups):
         eng.gt_c2w[lo:hi + 1] = gts
         maps_here = hi % eng.every_frame == 0 or hi == n_frames - 1
         if (maps_here and fused and eng.fuse_track_map
                 and eng.mesh is None):
             # tracking + mapping event in ONE dispatch + ONE barrier
-            # (mapping.track_map_group — the engine's default fast path)
-            eng.mapping_event(hi, colors, depths, gts[-1],
-                              frame_sel=hi - lo, track_group_start=lo)
+            # (mapping.track_map_group — the engine's default fast path).
+            # barrier_every > 1: amortize the ~17 ms barrier-fetch RPC of
+            # the remote-attached backend over several groups (the
+            # schedule is deterministic — nothing host-side needs the
+            # result between groups); the LAST group always barriers.
+            saved = eng._map_barrier
+            eng._map_barrier = (g_i % barrier_every == barrier_every - 1
+                                or g_i == len(groups) - 1)
+            try:
+                eng.mapping_event(hi, colors, depths, gts[-1],
+                                  frame_sel=hi - lo, track_group_start=lo)
+            finally:
+                eng._map_barrier = saved
         else:
             t0 = time.perf_counter()
             losses = eng._track_group(lo, hi, colors, depths)
@@ -161,10 +218,13 @@ def run_attempt(args):
     from nice_slam_tpu.engine import SlamEngine
     from nice_slam_tpu.tracking import track_frames_group
 
-    n_warm = 26    # through the first BA-active mapping event (>4 kfs)
+    # NICE: warm through the first BA-active mapping event (>4 kfs);
+    # iMAP*: BA is off (ref imap.yaml) — two steady events suffice
+    n_warm = 11 if args.imap else 26
     n_frames = n_warm + args.frames
-    cfg = build_cfg(n_frames, args.sync)
+    cfg = build_cfg(n_frames, args.sync, imap=args.imap)
     eng = SlamEngine(cfg, output="/tmp/bench_out")
+    eng.capture_cost = True   # record XLA flops/bytes of each dispatch
     s = eng.specs
 
     # group/mapping alignment: each group must END on an every_frame
@@ -192,6 +252,10 @@ def run_attempt(args):
     eng._est_dev = eng._set_pose(eng._est_dev, 0, gt_pose)
     eng.mapping_event(0, color, depth, gt_pose, first=True)
     eng.frames_done = 1
+    # the first-frame event's graph (iters_first, no BA) is not the
+    # steady-state graph — drop its cost record so the capture re-arms
+    # on the steady variants below
+    eng.cost_analyses.clear()
     print(f"warmup stage 1 (first mapping) ok "
           f"{time.perf_counter() - t_w:.1f}s", file=sys.stderr, flush=True)
 
@@ -204,7 +268,14 @@ def run_attempt(args):
     run_groups(eng, w_groups[:1], n_frames, fused=False)
     print(f"warmup stage 2 (unfused group) ok "
           f"{time.perf_counter() - t_w:.1f}s", file=sys.stderr, flush=True)
-    run_groups(eng, w_groups[1:], n_frames, fused=True)
+    # re-arm the cost capture before the LAST warmup group: in NICE mode
+    # that group's event is the first BA-active one — the exact graph
+    # variant the measured segment runs — so its flops/bytes record is
+    # the measured segment's (the capture's AOT compile is a cache hit
+    # by then and never rides the timed loop)
+    run_groups(eng, w_groups[1:-1], n_frames, fused=True)
+    eng.cost_analyses.clear()
+    run_groups(eng, w_groups[-1:], n_frames, fused=True)
     print(f"warmup stage 3 (fused groups) ok "
           f"{time.perf_counter() - t_w:.1f}s", file=sys.stderr, flush=True)
 
@@ -223,13 +294,16 @@ def run_attempt(args):
               f"{time.perf_counter() - t_w:.1f}s", file=sys.stderr,
               flush=True)
     eng.timings = {k: 0.0 for k in eng.timings}
+    eng.dispatch_counts = {}
+    eng.capture_cost = False  # nothing may lower/compile in the timed loop
 
     prof = None
     if args.profile:
         import jax.profiler as prof
         prof.start_trace(args.profile)
     t0 = time.perf_counter()
-    run_groups(eng, groups, n_frames, fused=True)
+    run_groups(eng, groups, n_frames, fused=True,
+               barrier_every=args.barrier_every)
     device_time = time.perf_counter() - t0
     if prof is not None:
         prof.stop_trace()
@@ -237,7 +311,41 @@ def run_attempt(args):
     fps = n_measured / device_time
     print(json.dumps({"timings_s": eng.timings, "wall_s": device_time}),
           file=sys.stderr)
-    return fps
+    return fps, mfu_report(eng, device_time)
+
+
+def mfu_report(eng, device_time: float):
+    """Roofline accounting of the measured segment: sum each dispatch's
+    XLA cost analysis (flops / bytes accessed, engine.capture_cost) times
+    its execution count, divide by measured time and the chip peaks."""
+    kind, (peak_flops, peak_bw) = device_peaks()
+    cost = {}
+    flops = bytes_acc = 0.0
+    incomplete = []
+    for name, n_exec in sorted(eng.dispatch_counts.items()):
+        c = eng.cost_analyses.get(name)
+        if not c or "flops" not in c:
+            incomplete.append(name)
+            continue
+        cost[name] = {"executions": n_exec, "flops": c["flops"],
+                      "bytes_accessed": c["bytes_accessed"]}
+        flops += n_exec * c["flops"]
+        bytes_acc += n_exec * c["bytes_accessed"]
+    rep = {
+        "device_kind": kind,
+        "flops_measured": flops,
+        "bytes_accessed_measured": bytes_acc,
+        "arithmetic_intensity": round(flops / bytes_acc, 3)
+        if bytes_acc else None,
+        "cost": cost,
+    }
+    if incomplete:
+        rep["cost_missing_for"] = incomplete
+    if peak_flops and flops:
+        rep["mfu"] = round(flops / device_time / peak_flops, 5)
+        rep["hbm_utilization"] = round(
+            bytes_acc / device_time / peak_bw, 4)
+    return rep
 
 
 def child_main(args):
@@ -248,17 +356,24 @@ def child_main(args):
     from nice_slam_tpu.utils.retry import retry_transient
 
     stats = {}
-    fps = retry_transient(lambda: run_attempt(args), attempts=2,
-                          label="bench attempt", stats=stats)
-    print(json.dumps({
-        "metric": "tracked+mapped frames/s per chip (Replica budget)",
+    fps, roofline = retry_transient(lambda: run_attempt(args), attempts=2,
+                                    label="bench attempt", stats=stats)
+    out = {
+        "metric": ("tracked+mapped frames/s per chip (iMAP* budget)"
+                   if args.imap else
+                   "tracked+mapped frames/s per chip (Replica budget)"),
         "value": round(fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 2),
-        "baseline_anchor": BASELINE_PROVENANCE,
+        # the 0.6 fps anchor is the NICE/Replica estimate; the iMAP*
+        # budget has no anchor -> no vs_baseline there
+        "vs_baseline": (None if args.imap
+                        else round(fps / BASELINE_FPS, 2)),
+        "baseline_anchor": (None if args.imap else BASELINE_PROVENANCE),
         "retry_attempts_used": stats.get("attempts", 1),
         "transient_errors": stats.get("transient_errors", []),
-    }), flush=True)
+    }
+    out.update(roofline)
+    print(json.dumps(out), flush=True)
 
 
 def main():
@@ -272,6 +387,14 @@ def main():
                     choices=("strict", "loose", "free"),
                     help="sync mode to bench (loose/free run the lagged "
                          "grouped path, engine._grouped_lagged_step)")
+    ap.add_argument("--imap", action="store_true",
+                    help="bench iMAP* mode at the reference iMAP budget "
+                         "(ref configs/imap.yaml) instead of NICE/Replica")
+    ap.add_argument("--barrier-every", type=int, default=4,
+                    help="barrier once per K groups in the measured loop "
+                         "(amortizes the remote backend's barrier RPC; "
+                         "matches the engine default tpu."
+                         "barrier_every_groups; 1 = round-4 behavior)")
     ap.add_argument("--attempts", type=int, default=3,
                     help="watchdog retries (hangs + transient failures)")
     ap.add_argument("--attempt-timeout", type=int, default=1500,
@@ -288,7 +411,10 @@ def main():
     import subprocess
 
     cmd = [sys.executable, os.path.abspath(__file__), "--child",
-           "--frames", str(args.frames), "--sync", args.sync]
+           "--frames", str(args.frames), "--sync", args.sync,
+           "--barrier-every", str(args.barrier_every)]
+    if args.imap:
+        cmd += ["--imap"]
     if args.profile:
         cmd += ["--profile", args.profile]
     for attempt in range(1, args.attempts + 1):

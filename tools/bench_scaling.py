@@ -1,13 +1,26 @@
 #!/usr/bin/env python
 """Scaling harness: one mapping step under each parallel mode at several
-mesh sizes.  On real multi-chip hardware this measures scaling
-efficiency; on the virtual CPU mesh (default here) it validates the
-collective structure end-to-end (virtual devices share host cores, so
-wall times do NOT reflect real scaling).
+mesh sizes, with weak/strong scaling-efficiency series and a psum
+microbenchmark against the docs/SCALING.md ICI cost model.
+
+On real multi-chip hardware this measures scaling efficiency (the
+BASELINE.md ">=70% at 2+ hosts" axis — run THIS script unchanged on a
+pod); on the virtual CPU mesh (default here) it validates the collective
+structure end-to-end and the JSON artifact marks itself
+`"virtual": true` (virtual devices share host cores, so wall times do
+NOT reflect real scaling).
+
+Definitions (emitted per mesh size N):
+  weak efficiency   = T(1) / T(N)       at CONSTANT per-device ray work
+  strong efficiency = T(1) / (N * T(N)) at CONSTANT total ray work
+The psum microbench times an all-reduce of a grid-gradient-sized buffer
+and compares against the analytic all-reduce model
+2*size*(N-1)/N / link_bw (docs/SCALING.md "Cost model").
 
 Usage:
     XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
-        python tools/bench_scaling.py --iters 4 --pixels 256
+        python tools/bench_scaling.py --iters 4 --pixels 256 \
+        --json SCALING.json
 """
 
 from __future__ import annotations
@@ -29,6 +42,12 @@ def main():
     ap.add_argument("--pixels", type=int, default=256,
                     help="per-device ray budget")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--json", type=str, default=None,
+                    help="write the machine-readable artifact here "
+                         "(e.g. SCALING.json)")
+    ap.add_argument("--ici-gbps", type=float, default=100.0,
+                    help="assumed per-link ICI bandwidth (GB/s) for the "
+                         "psum model comparison (v5e ~100)")
     args = ap.parse_args()
 
     import jax
@@ -91,15 +110,34 @@ def main():
 
     results = []
     sizes = [s for s in (1, 2, 4, 8) if s <= n_dev]
+    # weak scaling: pixels is PER DEVICE in dp mode -> per-device ray
+    # work constant, total rays grow with N
     for n in sizes:
         mesh = make_mesh(n)
         t = timed(lambda r: dp_map_optimize(
             state.params, state.grids, state.bound, window, cams0, masks,
             clm, jnp.float32(1.0), jax.random.PRNGKey(r), cam, stages,
             specs.mapper, specs.render, mspec, mesh)[3], args.reps)
-        results.append({"mode": "ray-dp", "devices": n,
-                        "step_s": round(t, 4),
+        results.append({"mode": "ray-dp", "scaling": "weak",
+                        "devices": n, "step_s": round(t, 4),
                         "rays_per_step": args.pixels * n})
+
+    # strong scaling: total rays fixed at pixels * max(sizes); the
+    # per-device budget shrinks with N (needs a re-specced mapper since
+    # mapping.pixels is per-device)
+    from dataclasses import replace as dc_replace
+    total_rays = args.pixels * max(sizes)
+    for n in sizes:
+        per_dev = total_rays // n
+        mesh = make_mesh(n)
+        mp = dc_replace(specs.mapper, pixels=per_dev)
+        t = timed(lambda r: dp_map_optimize(
+            state.params, state.grids, state.bound, window, cams0, masks,
+            clm, jnp.float32(1.0), jax.random.PRNGKey(r), cam, stages,
+            mp, specs.render, mspec, mesh)[3], args.reps)
+        results.append({"mode": "ray-dp", "scaling": "strong",
+                        "devices": n, "step_s": round(t, 4),
+                        "rays_per_step": total_rays})
 
     for n in [s for s in sizes if s >= 2]:
         mesh2 = make_mesh_2d(max(n // 2, 1), 2)
@@ -115,8 +153,73 @@ def main():
                         "devices": n, "step_s": round(t, 4),
                         "rays_per_step": args.pixels * (n // 2)})
 
-    print(json.dumps({"backend": jax.default_backend(),
-                      "devices": n_dev, "results": results}, indent=2))
+    # ---- scaling efficiencies (weak: T1/TN; strong: T1/(N*TN)) -------
+    def series(scaling):
+        return {r["devices"]: r["step_s"] for r in results
+                if r["mode"] == "ray-dp" and r.get("scaling") == scaling}
+
+    efficiency = []
+    weak, strong = series("weak"), series("strong")
+    for n in sizes:
+        if n == 1:
+            continue
+        e = {"devices": n}
+        if 1 in weak and n in weak and weak[n] > 0:
+            e["weak_efficiency"] = round(weak[1] / weak[n], 3)
+        if 1 in strong and n in strong and strong[n] > 0:
+            e["strong_efficiency"] = round(
+                strong[1] / (n * strong[n]), 3)
+        efficiency.append(e)
+
+    # ---- psum microbenchmark vs the docs/SCALING.md ICI model --------
+    # all-reduce of the dp gradient pytree's dominant buffer (the fine +
+    # color grids, tens of MB) and of the grid-sharded per-point feature
+    # rows (KBs): measured seconds vs 2*size*(N-1)/N / link_bw
+    psum_bench = []
+    grid_bytes = sum(int(np.prod(g.shape)) * 4
+                     for k, g in state.grids.items()
+                     if k in ("fine", "color", "middle"))
+    for size_label, nbytes in (("dp-grad(grids)", grid_bytes),
+                               ("gs-feature-rows(256x32)", 256 * 32 * 4)):
+        n = max(sizes)
+        if n < 2:
+            break
+        mesh = make_mesh(n)
+        x = jnp.zeros((n, max(nbytes // 4, 1)), jnp.float32)
+        f = jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")
+        np.asarray(jax.device_get(f(x)[0, :1]))  # compile
+        t0 = time.perf_counter()
+        reps = 10
+        for _ in range(reps):
+            out = f(x)
+        np.asarray(jax.device_get(out[0, :1]))
+        t = (time.perf_counter() - t0) / reps
+        model_s = 2 * nbytes * (n - 1) / n / (args.ici_gbps * 1e9)
+        psum_bench.append({
+            "buffer": size_label, "bytes": nbytes, "devices": n,
+            "measured_s": round(t, 6),
+            "model_s_at_ici": round(model_s, 6),
+            "model": f"2*size*(N-1)/N / {args.ici_gbps:.0f}GB/s",
+        })
+
+    backend = jax.default_backend()
+    out = {
+        "backend": backend,
+        "devices": n_dev,
+        # virtual CPU meshes validate STRUCTURE, not real scaling: the
+        # devices share host cores, and psum rides shared memory, not
+        # ICI.  On a pod this same artifact carries the real numbers.
+        "virtual": backend == "cpu",
+        "target": "BASELINE.md: >=70% scaling efficiency at 2+ hosts",
+        "results": results,
+        "efficiency": efficiency,
+        "psum_microbench": psum_bench,
+    }
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=2)
+        print(f"wrote {args.json}", file=sys.stderr)
+    print(json.dumps(out, indent=2))
 
 
 if __name__ == "__main__":

@@ -67,8 +67,38 @@ def child(args):
     eng.run(progress=False)
     stats = eng.ate()
     est = eng.est_c2w[:args.frames]
+
+    # cross-process psum microbenchmark: the SAME measurement
+    # tools/bench_scaling.py takes on a device mesh, here riding the
+    # real inter-process transport (gloo/TCP on CPU; DCN on a pod) —
+    # times the all-reduce of a dp-gradient-sized buffer so the
+    # docs/SCALING.md cost model has a measured cross-HOST point
+    import time as _time
+
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    nbytes = 8 * 2 ** 20  # 8 MiB/process — dp grid-gradient order
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    f = jax.jit(shard_map(lambda v: jax.lax.psum(v, "data"), mesh=mesh,
+                          in_specs=P("data"), out_specs=P()))
+    x = jnp.zeros((args.procs, nbytes // 4), jnp.float32)
+    np.asarray(jax.device_get(f(x)[:1]))  # compile + first exec
+    t0 = _time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        y = f(x)
+    np.asarray(jax.device_get(y[:1]))
+    psum_s = (_time.perf_counter() - t0) / reps
+
     out = {"proc": pid, "rmse": stats["rmse"],
-           "est_sum": float(np.abs(est).sum())}
+           "est_sum": float(np.abs(est).sum()),
+           "psum_bytes_per_proc": nbytes,
+           "psum_s": round(psum_s, 6),
+           "psum_algbw_gbps": round(
+               2 * nbytes * (args.procs - 1) / args.procs
+               / psum_s / 1e9, 4)}
     # every process reports; the parent cross-checks agreement
     with open(os.path.join(args.workdir, f"proc{pid}.json"), "w") as f:
         json.dump(out, f)
@@ -140,7 +170,10 @@ def main():
     ok = (all(r < args.rmse_bound for r in rmses)
           and max(sums) - min(sums) < 1e-3)
     print(json.dumps({"ok": ok, "procs": args.procs, "rmse": rmses,
-                      "est_sum_spread": max(sums) - min(sums)}))
+                      "est_sum_spread": max(sums) - min(sums),
+                      "psum_s": results[0].get("psum_s"),
+                      "psum_algbw_gbps":
+                          results[0].get("psum_algbw_gbps")}))
     if not ok:
         sys.exit(1)
 
