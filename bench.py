@@ -174,8 +174,12 @@ def run_groups(eng, groups, n_frames: int, fused: bool,
         prev = getattr(eng, "_bench_prev_group", None)
         for (lo, hi, colors, depths, gts) in groups:
             eng.gt_c2w[lo:hi + 1] = gts
+            # pass the engine's TRUE n_img (the dataset is one frame
+            # longer than the measured range) so the final-frame mapping
+            # event — a distinct, never-warmed graph — cannot fire
+            # inside the timed loop
             eng._grouped_lagged_step(lo, hi, colors, depths, gts,
-                                     n_frames, prev)
+                                     eng.n_img, prev)
             prev = (lo, colors, depths, gts)
             eng.frames_done = hi + 1
         eng._bench_prev_group = prev
@@ -183,7 +187,7 @@ def run_groups(eng, groups, n_frames: int, fused: bool,
 
     for g_i, (lo, hi, colors, depths, gts) in enumerate(groups):
         eng.gt_c2w[lo:hi + 1] = gts
-        maps_here = hi % eng.every_frame == 0 or hi == n_frames - 1
+        maps_here = hi % eng.every_frame == 0 or hi == eng.n_img - 1
         if (maps_here and fused and eng.fuse_track_map
                 and eng.mesh is None):
             # tracking + mapping event in ONE dispatch + ONE barrier
