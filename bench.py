@@ -382,8 +382,10 @@ def child_main(args):
 
 def main():
     ap = argparse.ArgumentParser(description="nice-slam-tpu benchmark")
-    ap.add_argument("--frames", type=int, default=20,
-                    help="measured frames (default 20; use 5 for a quick "
+    ap.add_argument("--frames", type=int, default=40,
+                    help="measured frames (default 40 = 8 frame groups — "
+                         "long enough to amortize the K-group barrier "
+                         "policy like a real run; use 5 for a quick "
                          "profile run)")
     ap.add_argument("--profile", type=str, default=None, metavar="LOGDIR",
                     help="capture an XLA trace of the measured segment")
