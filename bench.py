@@ -172,16 +172,25 @@ def run_groups(eng, groups, n_frames: int, fused: bool,
 
     if eng.map_lag > 0:
         prev = getattr(eng, "_bench_prev_group", None)
-        for (lo, hi, colors, depths, gts) in groups:
-            eng.gt_c2w[lo:hi + 1] = gts
-            # pass the engine's TRUE n_img (the dataset is one frame
-            # longer than the measured range) so the final-frame mapping
-            # event — a distinct, never-warmed graph — cannot fire
-            # inside the timed loop
-            eng._grouped_lagged_step(lo, hi, colors, depths, gts,
-                                     eng.n_img, prev)
-            prev = (lo, colors, depths, gts)
-            eng.frames_done = hi + 1
+        saved = eng._map_barrier
+        try:
+            for g_i, (lo, hi, colors, depths, gts) in enumerate(groups):
+                eng.gt_c2w[lo:hi + 1] = gts
+                # same K-group barrier policy as the engine's own lagged
+                # loop (the fused lagged dispatch barriers via map_once)
+                eng._map_barrier = saved and (
+                    g_i % barrier_every == barrier_every - 1
+                    or g_i == len(groups) - 1)
+                # pass the engine's TRUE n_img (the dataset is one frame
+                # longer than the measured range) so the final-frame
+                # mapping event — a distinct, never-warmed graph —
+                # cannot fire inside the timed loop
+                eng._grouped_lagged_step(lo, hi, colors, depths, gts,
+                                         eng.n_img, prev)
+                prev = (lo, colors, depths, gts)
+                eng.frames_done = hi + 1
+        finally:
+            eng._map_barrier = saved
         eng._bench_prev_group = prev
         return
 
