@@ -339,6 +339,28 @@ class TestFusedTrackMapParity:
         np.testing.assert_array_equal(results[True][2], results[False][2])
 
 
+class TestBarrierPolicyParity:
+    def test_k_group_barriers_bit_identical(self):
+        """tpu.barrier_every_groups only changes WHEN the host fetches a
+        barrier scalar, never the computation: with K=4 up to three fused
+        group programs queue with donated buffers in flight — the
+        trajectory and map must be bit-identical to K=1."""
+        results = {}
+        for k in (1, 4):
+            cfg = load_config(overrides={
+                **TEST_CFG, "synthetic": {"n_frames": 13},
+                "tpu": {"seed": 3, "barrier_every_groups": k},
+                "mapping": {**TEST_CFG["mapping"], "iters_first": 30,
+                            "iters": 8}})
+            eng = SlamEngine(cfg, output=f"/tmp/nice_slam_tpu_bk{k}")
+            eng.run()
+            results[k] = (eng.est_c2w,
+                          np.asarray(jax.device_get(
+                              eng.map_state.grids["middle"])))
+        np.testing.assert_array_equal(results[1][0], results[4][0])
+        np.testing.assert_array_equal(results[1][1], results[4][1])
+
+
 class TestLaggedFusedParity:
     @pytest.mark.parametrize("sync", ["loose", "free"])
     def test_lagged_fused_bit_identical(self, sync):
